@@ -1,0 +1,33 @@
+"""tpu-slam: a TPU-native visual SLAM / SfM engine in JAX/XLA/Pallas.
+
+Built from scratch against the capability surface of the reference CPU
+pipeline (JacobYoung115/VisualSLAM, see SURVEY.md): Gaussian scale-space
+pyramids, Harris + DoG/SIFT keypoint detection, SIFT/ORB description,
+descriptor matching, epipolar two-view reconstruction, sliding-window
+bundle adjustment, and pose-graph optimization — with pjit/shard_map
+distribution over TPU meshes.
+
+Package layout (SURVEY.md §7 build plan):
+  utils/     config tree, masked fixed-capacity sets, padding, profiling
+  ops/       compute kernels (XLA + Pallas): blur, gradients, NMS, histograms,
+             descriptor sampling, tiled distance matrices
+  models/    pyramid builder + detector/descriptor frontends (Harris, SIFT, ORB)
+  geometry/  SE(3), epipolar geometry, RANSAC, triangulation
+  backend/   bundle adjustment (Schur/GN), pose-graph optimization
+  parallel/  mesh/sharding helpers, distributed BA assembly
+  slam/      tracking loop, keyframe policy, map state, checkpointing
+  io/        dataset IO (KITTI-style), serialization, native bindings
+"""
+
+__version__ = "0.1.0"
+
+from visualslam_tpu.utils.config import (  # noqa: F401
+    PyramidConfig,
+    HarrisConfig,
+    SiftConfig,
+    OrbConfig,
+    MatchConfig,
+    RansacConfig,
+    BAConfig,
+    SlamConfig,
+)

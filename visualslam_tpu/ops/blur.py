@@ -1,0 +1,106 @@
+"""Separable Gaussian blur as XLA convolutions.
+
+Replaces the reference's per-level cv::GaussianBlur calls
+(GaussPyramid.cpp:166-185 `GaussVector`, Harris_corners.cpp:158,
+Diff_of_Gauss.cpp:346-348, 621-623). TPU-first design: all levels of one
+octave are blurred in a single pair of 1-D convolutions by treating the S
+sigmas as conv output channels — one horizontal conv [1->S channels] followed
+by one vertical depthwise conv [S groups] — so XLA sees two large conv ops it
+can tile onto the MXU instead of S sequential blurs.
+
+Kernel taps are computed host-side from the static config (sigmas are config
+constants), so everything is static-shape under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_DN = ("NCHW", "OIHW", "NCHW")
+
+
+def gaussian_taps(sigma: float, radius: int | None = None,
+                  truncate: float = 4.0) -> np.ndarray:
+    """1-D normalized Gaussian taps with radius ceil(truncate*sigma)."""
+    if radius is None:
+        radius = max(1, int(math.ceil(truncate * float(sigma))))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / max(float(sigma), 1e-12)) ** 2)
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def _pad2d(img: jnp.ndarray, ry: int, rx: int, mode: str) -> jnp.ndarray:
+    cfg = [(0, 0)] * (img.ndim - 2) + [(ry, ry), (rx, rx)]
+    return jnp.pad(img, cfg, mode=mode)
+
+
+def blur_stack(img: jnp.ndarray, sigmas: Sequence[float],
+               truncate: float = 4.0, mode: str = "symmetric") -> jnp.ndarray:
+    """Blur one image with S sigmas at once -> [S, H, W].
+
+    img: [H, W]. The S kernels are zero-padded to a common max radius
+    (normalized first, so results equal the per-sigma small-radius blur).
+    """
+    sigmas = tuple(float(s) for s in sigmas)
+    S = len(sigmas)
+    radius = max(max(1, int(math.ceil(truncate * s))) for s in sigmas)
+    taps = np.zeros((S, 2 * radius + 1), dtype=np.float32)
+    for i, s in enumerate(sigmas):
+        t = gaussian_taps(s, truncate=truncate)
+        r = (len(t) - 1) // 2
+        taps[i, radius - r: radius + r + 1] = t
+    taps = jnp.asarray(taps)
+    K = 2 * radius + 1
+
+    x = _pad2d(img, radius, radius, mode)[None, None]          # [1,1,H+2R,W+2R]
+    # Horizontal: 1 -> S channels.
+    kh = taps.reshape(S, 1, 1, K)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=_DN)     # [1,S,H+2R,W]
+    # Vertical: depthwise over the S channels.
+    kv = taps.reshape(S, 1, K, 1)
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
+                                     dimension_numbers=_DN,
+                                     feature_group_count=S)     # [1,S,H,W]
+    return x[0]
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, truncate: float = 4.0,
+                  mode: str = "symmetric") -> jnp.ndarray:
+    """Separable Gaussian blur of [..., H, W] with one sigma."""
+    taps = jnp.asarray(gaussian_taps(sigma, truncate=truncate))
+    K = taps.shape[0]
+    r = (K - 1) // 2
+    lead = img.shape[:-2]
+    H, W = img.shape[-2:]
+    x = _pad2d(img, r, r, mode).reshape((-1, 1) + (H + 2 * r, W + 2 * r))
+    x = jax.lax.conv_general_dilated(x, taps.reshape(1, 1, 1, K), (1, 1),
+                                     "VALID", dimension_numbers=_DN)
+    x = jax.lax.conv_general_dilated(x, taps.reshape(1, 1, K, 1), (1, 1),
+                                     "VALID", dimension_numbers=_DN)
+    return x.reshape(lead + (H, W))
+
+
+def box_filter(img: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Sum (not mean) over a window x window box, same-size output.
+
+    Used for structure-tensor accumulation (ref Harris_corners.cpp:16-22 is a
+    3x3 add loop per pixel). Edge-replicate padded to keep shape.
+    """
+    r = window // 2
+    lead = img.shape[:-2]
+    H, W = img.shape[-2:]
+    ones = jnp.ones((1, 1, 1, window), img.dtype)
+    x = _pad2d(img, r, r, "edge").reshape((-1, 1, H + 2 * r, W + 2 * r))
+    x = jax.lax.conv_general_dilated(x, ones, (1, 1), "VALID",
+                                     dimension_numbers=_DN)
+    x = jax.lax.conv_general_dilated(x, ones.reshape(1, 1, window, 1), (1, 1),
+                                     "VALID", dimension_numbers=_DN)
+    return x.reshape(lead + (H, W))

@@ -1,0 +1,90 @@
+"""Per-keypoint window extraction and rotated sampling.
+
+Replaces the reference's gather-heavy window flows: plain 16x16 ROI crops
+(Diff_of_Gauss.cpp:329-348) and integer rotated-window point-list sampling
+(rotation.cpp:112-130 `getRotatedWindowPoints`, Diff_of_Gauss.cpp:528-559
+`rotateImageSection`). TPU-first: axis-aligned windows are vmapped
+dynamic_slices (clamped, replicating the reference's padded-octave reads);
+rotated windows are an affine resampling — each keypoint's window grid is
+rotated about its center and sampled bilinearly with one batched gather,
+instead of the reference's per-pixel nearest-neighbor integer rotation
+(which it admits is axis-swapped, SURVEY.md §2.2 quirk b).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def extract_patches(img: jnp.ndarray, yx: jnp.ndarray, size: int,
+                    level_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Crop [K, size, size] windows centered at yx (rounded to int).
+
+    img: [H, W] or [L, H, W] (with level_idx [K] selecting the leading axis).
+    Windows are clamped inside the image — equivalent to the reference's
+    replicate-padded octave reads only near borders (clamp shifts the window
+    instead of replicating; detection margins keep keypoints off borders).
+    """
+    H, W = img.shape[-2:]
+    r = size // 2
+    y0 = jnp.clip(jnp.round(yx[:, 0]).astype(jnp.int32) - r, 0, H - size)
+    x0 = jnp.clip(jnp.round(yx[:, 1]).astype(jnp.int32) - r, 0, W - size)
+
+    if img.ndim == 2:
+        def crop(y, x):
+            return jax.lax.dynamic_slice(img, (y, x), (size, size))
+        return jax.vmap(crop)(y0, x0)
+
+    def crop_l(lvl, y, x):
+        return jax.lax.dynamic_slice(img, (lvl, y, x), (1, size, size))[0]
+    return jax.vmap(crop_l)(level_idx, y0, x0)
+
+
+def sample_bilinear(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img[H, W] at float coords [..., 2] (y, x), edge-clamped."""
+    H, W = img.shape
+    y = jnp.clip(coords[..., 0], 0.0, H - 1.0)
+    x = jnp.clip(coords[..., 1], 0.0, W - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = y - y0.astype(y.dtype)
+    wx = x - x0.astype(x.dtype)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
+            + wy * (1 - wx) * v10 + wy * wx * v11)
+
+
+def rotated_grid(yx: jnp.ndarray, angle_deg: jnp.ndarray, size: int,
+                 step: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """Sampling coords of a size x size window rotated by angle about yx.
+
+    yx: [K, 2]; angle_deg: [K]; step: scalar or [K] spacing in pixels.
+    Returns [K, size, size, 2] float coords. Rotating the GRID by +angle and
+    sampling is what makes the descriptor rotation-invariant (the reference
+    rotates the window CW by the keypoint angle, rotation.cpp:112-130).
+    """
+    theta = jnp.deg2rad(angle_deg)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    offs = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")          # [S, S]
+    step = jnp.asarray(step, jnp.float32)
+    step = jnp.broadcast_to(step, theta.shape)
+    # rotate (gy, gx) by theta: x' = c*gx - s*gy ; y' = s*gx + c*gy
+    rx = c[:, None, None] * gx - s[:, None, None] * gy
+    ry = s[:, None, None] * gx + c[:, None, None] * gy
+    coords = jnp.stack([ry, rx], axis=-1) * step[:, None, None, None]
+    return coords + yx[:, None, None, :]
+
+
+def extract_rotated_patches(img: jnp.ndarray, yx: jnp.ndarray,
+                            angle_deg: jnp.ndarray, size: int,
+                            step: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """[K, size, size] rotation-normalized windows, bilinearly sampled."""
+    coords = rotated_grid(yx, angle_deg, size, step)
+    return sample_bilinear(img, coords)

@@ -1,0 +1,211 @@
+"""Frozen configuration tree for the whole engine.
+
+The reference hardcodes every parameter at call sites (SURVEY.md §5 "Config":
+numOctaves=4, sigma=1.6 at Diff_of_Gauss.cpp:742-743; k=0.04 at
+Harris_corners.cpp:36; r=10 at Diff_of_Gauss.cpp:332; etc.). Here they live in
+one frozen, hashable dataclass tree so a config doubles as a jit
+static-argument: every jitted entry point takes `cfg` as a static arg and the
+compiled program specializes on it.
+
+Defaults reproduce the reference's behavioral spec (SURVEY.md §2.2), with
+documented deltas where the reference has outright bugs (SURVEY.md §2.2
+"quirks"): dense extrema scan instead of the stride-3 grid, L2 descriptor
+normalization by default instead of max-norm (set `descriptor_norm="max"` for
+reference behavior), and trilinear histogram binning as an option.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _Base:
+    """Shared helpers: serialization + functional update."""
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name: f for f in dataclasses.fields(cls)}
+        kw: dict[str, Any] = {}
+        for k, v in d.items():
+            if k not in names:
+                raise KeyError(f"{cls.__name__}: unknown config key {k!r}")
+            f = names[k]
+            sub = f.type if isinstance(f.type, type) else None
+            if isinstance(v, dict) and sub is not None and dataclasses.is_dataclass(sub):
+                v = sub.from_dict(v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class PyramidConfig(_Base):
+    """SIFT scale-space pyramid (ref: GaussPyramid.hpp/.cpp; SURVEY.md §2.2).
+
+    sigma(o, l) = 2^o * base_sigma * k^l with k = 2^(1/scale_samples)
+    (absolute blur from the octave base, ref GaussPyramid.cpp:156-162).
+    """
+
+    num_octaves: int = 4                # ref Diff_of_Gauss.cpp:742
+    scale_samples: int = 3              # s; levels = s+3, ref GaussPyramid.hpp:65
+    base_sigma: float = 1.6             # ref Diff_of_Gauss.cpp:743
+    initial_upsample: bool = True       # 2x linear before octave 0, cpp:109-110
+    assumed_blur: float = 0.0           # blur already present in the input image
+    truncate: float = 4.0               # Gaussian kernel radius = ceil(truncate*sigma)
+    dtype: str = "float32"
+
+    @property
+    def levels_per_octave(self) -> int:
+        return self.scale_samples + 3
+
+    @property
+    def k_factor(self) -> float:
+        return 2.0 ** (1.0 / self.scale_samples)
+
+    def sigma_at(self, octave: int, level: int) -> float:
+        """Absolute sigma of (octave, level) in octave-base pixel units."""
+        return self.base_sigma * (self.k_factor ** level)
+
+    def abs_sigma(self, octave: int, level: int) -> float:
+        """Sigma in base-image units: 2^o * base_sigma * k^l (ref cpp:156-162)."""
+        return (2.0 ** octave) * self.base_sigma * (self.k_factor ** level)
+
+
+@dataclass(frozen=True)
+class HarrisConfig(_Base):
+    """Harris corner detector (ref: Harris_corners.cpp; SURVEY.md §2.2)."""
+
+    k: float = 0.04                     # ref :36
+    window: int = 3                     # structure-tensor window, ref :34
+    nms_window: int = 5                 # ref :179
+    blur_ksize: int = 3                 # pre-blur 3x3, ref :158
+    blur_sigma: float = 0.8             # OpenCV's derived sigma for ksize=3
+    response_threshold: float = 0.0     # keep response > 0, ref :60-62
+    max_keypoints: int = 1024           # fixed-capacity output (masked)
+
+
+@dataclass(frozen=True)
+class SiftConfig(_Base):
+    """DoG detection + SIFT description (ref: Diff_of_Gauss.cpp; SURVEY.md §2.2)."""
+
+    contrast_threshold: float = 0.03    # interpolated |D| > 0.03, ref :231-249
+    edge_r: float = 10.0                # tr^2/det < (r+1)^2/r, ref :105-108
+    max_keypoints_per_octave: int = 512 # fixed-capacity per octave
+    max_keypoints: int = 1024           # total capacity after merge
+    num_orientation_bins: int = 36      # ref :112-133
+    orientation_window: int = 16        # 16x16, ref :344-354
+    orientation_sigma_scale: float = 1.5  # sigma = 1.5 * sigma(o,l), ref :346
+    orientation_peak_ratio: float = 0.8 # spawn per bin > 0.8*max, ref :357-369
+    max_orientations: int = 2           # capacity of spawned orientations per kp
+    descriptor_width: int = 4           # 4x4 subregions
+    descriptor_bins: int = 8            # 8 bins -> 128-D
+    descriptor_window: int = 16         # 16x16 sampling window
+    descriptor_clamp: float = 0.2       # clamp, ref :669-673
+    descriptor_norm: str = "l2"         # "l2" (spec) | "max" (reference quirk f)
+    localization_offset_max: float = 0.5  # reject if |z-hat| component beyond this * steps
+    localize_iters: int = 1             # quadratic-fit refinement iterations
+    dense_extrema: bool = True          # dense 26-neighbor scan (ref quirk c uses stride 3)
+
+
+@dataclass(frozen=True)
+class OrbConfig(_Base):
+    """ORB: oriented FAST + rotated BRIEF (absent in reference — README.md:19;
+    built from scratch, SURVEY.md §2.3)."""
+
+    num_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: float = 0.08       # on [0,1] intensity scale (~20/255)
+    fast_arc: int = 9                   # FAST-9 contiguous arc
+    max_keypoints: int = 1024
+    patch_size: int = 31                # orientation / BRIEF sampling patch
+    brief_pairs: int = 256              # 256-bit descriptor
+    brief_seed: int = 0x9E3779B9        # deterministic sampling-pattern seed
+    harris_ranking: bool = True
+
+
+@dataclass(frozen=True)
+class MatchConfig(_Base):
+    """Descriptor matching (absent in reference — README.md:17; SURVEY.md §2.3)."""
+
+    ratio: float = 0.8                  # Lowe ratio test
+    mutual: bool = True                 # mutual-best cross check
+    metric: str = "l2"                  # "l2" | "hamming"
+    max_matches: int = 512              # fixed-capacity matches (masked)
+    tile: int = 256                     # tile size for the pallas distance kernel
+
+
+@dataclass(frozen=True)
+class RansacConfig(_Base):
+    """Batched-hypothesis RANSAC for the essential matrix (SURVEY.md §2.3)."""
+
+    num_hypotheses: int = 512           # all scored in parallel (vmapped)
+    sample_size: int = 8                # 8-point algorithm
+    inlier_threshold: float = 1.5e-3    # Sampson distance in normalized coords
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class BAConfig(_Base):
+    """Sliding-window bundle adjustment (absent in reference; BASELINE.json
+    configs[3]; SURVEY.md §2.3)."""
+
+    max_cameras: int = 10
+    max_landmarks: int = 8192
+    max_observations: int = 16384
+    iters: int = 10
+    damping_init: float = 1e-3
+    damping_up: float = 10.0
+    damping_down: float = 0.1
+    huber_delta: float = 5.0e-3         # robust loss on normalized-plane residuals
+    solver: str = "schur_dense"         # "schur_dense" | "schur_cg"
+    cg_iters: int = 32
+    fix_first_camera: bool = True
+    fix_gauge_scale: bool = True
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig(_Base):
+    max_nodes: int = 256
+    max_edges: int = 1024
+    iters: int = 20
+    damping: float = 1e-4
+
+
+@dataclass(frozen=True)
+class SlamConfig(_Base):
+    """Top-level engine config: composes every subsystem."""
+
+    pyramid: PyramidConfig = field(default_factory=PyramidConfig)
+    harris: HarrisConfig = field(default_factory=HarrisConfig)
+    sift: SiftConfig = field(default_factory=SiftConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    frontend: str = "sift"              # "sift" | "orb" | "harris"
+    keyframe_min_inliers: int = 40
+    keyframe_max_gap: int = 5
+    image_height: int = 376             # KITTI-odometry grayscale default
+    image_width: int = 1241
+
+    @classmethod
+    def from_json(cls, s: str) -> "SlamConfig":
+        return cls.from_dict(json.loads(s))
+
+
+DEFAULT_CONFIG = SlamConfig()

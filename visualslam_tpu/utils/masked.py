@@ -1,0 +1,71 @@
+"""Fixed-capacity masked-set utilities.
+
+The reference accumulates keypoints in `std::vector<SLAM::point>` with
+data-dependent append loops (Diff_of_Gauss.cpp:287-290, 362-369). Under XLA
+everything must be static-shape, so the whole engine represents "a set of at
+most K things" as a struct-of-arrays with a boolean validity mask, and these
+helpers replace the append/erase flows:
+
+  - `top_k_select`: dense score map -> top-K flat indices + mask
+  - `compact`: push valid entries to the front (stable) so downstream
+    fixed-size gathers touch a contiguous prefix
+  - `merge`: concatenate two masked sets into a fixed capacity, best-first
+
+All are pure jnp and safe under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Select top-k entries of a flat score vector restricted to `valid`.
+
+    Returns (indices[k], mask[k]) where mask marks selections that were
+    actually valid (if fewer than k valid entries exist, the tail is masked
+    out and indices there are arbitrary but in-range).
+    """
+    scores = jnp.where(valid, scores, NEG_INF)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    mask = top_scores > NEG_INF
+    return idx, mask
+
+
+def compact(mask: jnp.ndarray, *arrays: jnp.ndarray):
+    """Stable-compact: reorder so all valid entries come first.
+
+    Returns (new_mask, *reordered_arrays). Invalid slots keep *some* value
+    (the original invalid entries, in order) but are masked.
+    """
+    n = mask.shape[0]
+    # Stable argsort on (not valid): valid entries (0) first, preserving order.
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)
+    new_mask = jnp.arange(n) < jnp.sum(mask)
+    return (new_mask,) + tuple(a[order] for a in arrays)
+
+
+def merge(score_a, mask_a, score_b, mask_b, k: int, *array_pairs):
+    """Merge two masked sets, keeping the k best by score.
+
+    array_pairs is a flat sequence (a0, b0, a1, b1, ...) of matching arrays.
+    Returns (scores[k], mask[k], *merged_arrays).
+    """
+    assert len(array_pairs) % 2 == 0
+    scores = jnp.concatenate([jnp.where(mask_a, score_a, NEG_INF),
+                              jnp.where(mask_b, score_b, NEG_INF)])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    mask = top_scores > NEG_INF
+    merged = []
+    for i in range(0, len(array_pairs), 2):
+        cat = jnp.concatenate([array_pairs[i], array_pairs[i + 1]], axis=0)
+        merged.append(cat[idx])
+    return (jnp.where(mask, top_scores, 0.0), mask) + tuple(merged)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None, eps: float = 1e-12):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=axis) / (jnp.sum(m, axis=axis) + eps)
