@@ -21,16 +21,25 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
-def _bench(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Median wall-clock seconds per call (block_until_ready semantics)."""
+def _bench(fn, args_list, warmup: int = 2, iters: int = 12) -> float:
+    """Median wall-clock seconds per call.
+
+    args_list is a list of DISTINCT arg-tuples cycled across iterations: the
+    axon TPU backend memoizes executions whose input buffers are identical,
+    so repeated same-buffer calls would measure the cache, not the chip."""
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    n = len(args_list)
+    for i in range(warmup):
+        float(fn(*args_list[i % n]))
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        a = args_list[(i + warmup) % n]
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        # float() forces a scalar host readback: on the axon remote backend
+        # block_until_ready returns before execution finishes, so only a
+        # data-dependent transfer gives honest wall-clock.
+        float(fn(*a))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -45,10 +54,17 @@ def main() -> None:
     cfg = DEFAULT_CONFIG
     h, w = 376, 1248  # KITTI-sized, padded to a multiple of 16 for tiling
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    imgs = [(jnp.asarray(rng.random((h, w), dtype=np.float32)),)
+            for _ in range(6)]
 
-    fn = jax.jit(lambda im: detect_and_describe(im, cfg))
-    sec = _bench(fn, img)
+    @jax.jit
+    def fn(im):
+        feats = detect_and_describe(im, cfg)
+        # scalar checksum depending on every output -> forced full execution
+        return (jnp.sum(feats.descriptors) + jnp.sum(feats.keypoints.yx)
+                + jnp.sum(feats.keypoints.response))
+
+    sec = _bench(fn, imgs)
     fps = 1.0 / sec
 
     print(f"[bench] device={jax.devices()[0]} frontend={cfg.frontend} "

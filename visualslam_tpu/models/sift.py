@@ -1,0 +1,213 @@
+"""SIFT frontend: DoG detection -> localization -> orientation -> descriptors.
+
+The TPU-native rebuild of the reference's flagship `DoG` pipeline
+(Diff_of_Gauss.cpp:727-876, call stack in SURVEY.md §3.2):
+
+  reference (per-keypoint C++ loops)          here (batched array programs)
+  ------------------------------------------  --------------------------------
+  initialKeypointDetection (:254-297)         ops.extrema.detect_extrema
+  FeaturePointLocalization (:223-251)         ops.extrema.localize (batched fit)
+  computeEdgeResponse      (:79-109)          inside localize (edge test)
+  filterKeypoints + orientationHistogram      orientation_pass (one-hot matmul
+    (:301-372, :112-133)                        histograms + parabolic peaks)
+  Rotation window + SIFT   (:528-693)         describe_octave (rotated-grid
+                                                bilinear sampling + soft binning)
+
+Documented deltas from reference quirks (SURVEY.md §2.2): dense extrema scan
+(not stride-3), fitted sub-pixel offsets applied (clamped to +-0.5), paper
+Gaussian weighting instead of blurring the magnitude ROI, parabolic peak
+interpolation, L2 descriptor norm by default (descriptor_norm="max" restores
+the reference's max-norm).
+
+All keypoint sets are fixed-capacity masked SoA; octaves are a static Python
+loop producing per-octave Features merged by response into the final set.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visualslam_tpu.models.pyramid import ScaleSpace, build_pyramid
+from visualslam_tpu.models.types import Features, Keypoints
+from visualslam_tpu.ops.extrema import detect_extrema
+from visualslam_tpu.ops.histograms import (
+    gaussian_window,
+    histogram_peaks,
+    soft_histogram,
+)
+from visualslam_tpu.ops.patches import (
+    extract_patches,
+    rotated_grid,
+    sample_bilinear_stack,
+)
+from visualslam_tpu.utils.config import PyramidConfig, SiftConfig
+from visualslam_tpu.utils.masked import top_k_select
+
+
+class _OctaveKps(NamedTuple):
+    yx_oct: jnp.ndarray     # [K, 2] refined (y, x) in octave coords
+    level: jnp.ndarray      # [K] int32 DoG/gauss level index
+    scale_off: jnp.ndarray  # [K] fitted sub-pixel scale offset ds
+    orientation: jnp.ndarray  # [K] degrees
+    response: jnp.ndarray   # [K] |contrast|
+    valid: jnp.ndarray      # [K] bool
+
+
+def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
+                      response, valid, pyr_cfg: PyramidConfig,
+                      cfg: SiftConfig) -> _OctaveKps:
+    """Assign up to cfg.max_orientations orientations per candidate, then
+    re-select the per-octave top-K among the spawned keypoints."""
+    k = cfg.max_keypoints_per_octave
+    win = cfg.orientation_window
+    yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
+
+    mag = extract_patches(ss.grad_mag[octave], yx_int, win, level_idx=lvl)
+    ori = extract_patches(ss.grad_ori[octave], yx_int, win, level_idx=lvl)
+
+    # sigma of the (refined) level in octave-pixel units
+    lvl_f = lvl.astype(jnp.float32) + offset[:, 0]
+    sigma_oct = pyr_cfg.base_sigma * pyr_cfg.k_factor ** lvl_f
+    w = gaussian_window(win, cfg.orientation_sigma_scale * sigma_oct)  # [K,S,S]
+
+    hist = soft_histogram(ori.reshape(-1, win * win),
+                          (mag * w).reshape(-1, win * win),
+                          cfg.num_orientation_bins, 360.0,
+                          interpolate=True)                      # [K, 36]
+    angles, _, peak_valid = histogram_peaks(
+        hist, cfg.max_orientations, cfg.orientation_peak_ratio, 360.0)
+
+    # Spawn: flatten [K, P] -> [K*P]
+    P = cfg.max_orientations
+    yx_ref = yx_int + offset[:, 1:3]
+    yx_sp = jnp.repeat(yx_ref, P, axis=0)
+    lvl_sp = jnp.repeat(lvl, P, axis=0)
+    ds_sp = jnp.repeat(offset[:, 0], P, axis=0)
+    resp_sp = jnp.repeat(response, P, axis=0)
+    valid_sp = jnp.repeat(valid, P, axis=0) & peak_valid.reshape(-1)
+    ang_sp = angles.reshape(-1)
+
+    # Keep the octave capacity fixed: top-K by response among spawned kps.
+    # Tiny deterministic tiebreak so two orientations of one keypoint don't
+    # get dropped nondeterministically.
+    tiebreak = jnp.arange(resp_sp.shape[0], dtype=jnp.float32) * 1e-12
+    idx, mask = top_k_select(resp_sp - tiebreak, valid_sp, k)
+    return _OctaveKps(
+        yx_oct=yx_sp[idx] * mask[:, None],
+        level=jnp.where(mask, lvl_sp[idx], 1),
+        scale_off=jnp.where(mask, ds_sp[idx], 0.0),
+        orientation=jnp.where(mask, ang_sp[idx], 0.0),
+        response=jnp.where(mask, resp_sp[idx], 0.0),
+        valid=mask,
+    )
+
+
+def describe_octave(ss: ScaleSpace, octave: int, kps: _OctaveKps,
+                    cfg: SiftConfig) -> jnp.ndarray:
+    """128-D descriptors for one octave's keypoints: rotation-normalized
+    16x16 window -> 4x4 subregions x 8 orientation bins (ref SIFT
+    :561-693), via one fused rotated-grid gather + one-hot accumulation."""
+    win = cfg.descriptor_window
+    width = cfg.descriptor_width
+    nbins = cfg.descriptor_bins
+    D = width * width * nbins
+    K = kps.valid.shape[0]
+
+    coords = rotated_grid(kps.yx_oct, kps.orientation, win, step=1.0)
+    mag = sample_bilinear_stack(ss.grad_mag[octave], kps.level, coords)
+    ori = sample_bilinear_stack(ss.grad_ori[octave], kps.level, coords)
+    ori_rel = jnp.mod(ori - kps.orientation[:, None, None], 360.0)
+
+    # Static spatial structure of the 16x16 grid: subregion id + Gaussian
+    # weight (sigma = half window, SIFT paper; the reference instead blurs
+    # the magnitude ROI — documented delta).
+    cell = win // width
+    ids = jnp.arange(win) // cell
+    region = (ids[:, None] * width + ids[None, :]).reshape(-1)   # [win*win]
+    w_spatial = gaussian_window(win, win / 2.0).reshape(-1)      # [win*win]
+
+    wmag = (mag.reshape(K, -1)) * w_spatial[None, :]
+    pos = ori_rel.reshape(K, -1) * (nbins / 360.0)
+    b0f = jnp.floor(pos - 0.5)
+    frac = pos - 0.5 - b0f
+    b0 = jnp.mod(b0f.astype(jnp.int32), nbins)
+    b1 = jnp.mod(b0 + 1, nbins)
+    idx0 = region[None, :] * nbins + b0
+    idx1 = region[None, :] * nbins + b1
+    oh0 = jax.nn.one_hot(idx0, D, dtype=wmag.dtype)
+    oh1 = jax.nn.one_hot(idx1, D, dtype=wmag.dtype)
+    desc = (jnp.einsum("kp,kpd->kd", wmag * (1.0 - frac), oh0)
+            + jnp.einsum("kp,kpd->kd", wmag * frac, oh1))        # [K, 128]
+
+    if cfg.descriptor_norm == "max":
+        # reference behavior (quirk f): normalize by max, clamp, renormalize
+        m = jnp.max(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(m, 1e-12)
+        desc = jnp.minimum(desc, cfg.descriptor_clamp)
+        m = jnp.max(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(m, 1e-12)
+    else:
+        n = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(n, 1e-12)
+        desc = jnp.minimum(desc, cfg.descriptor_clamp)
+        n = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(n, 1e-12)
+    return desc * kps.valid[:, None]
+
+
+def detect_and_describe_sift(img: jnp.ndarray, pyr_cfg: PyramidConfig,
+                             cfg: SiftConfig) -> Features:
+    """Full SIFT frontend on one [H, W] image -> fixed-capacity Features.
+
+    Jit with both configs static."""
+    ss = build_pyramid(img, pyr_cfg)
+    base_scale = 0.5 if pyr_cfg.initial_upsample else 1.0
+
+    per_oct = []
+    for o in range(pyr_cfg.num_octaves):
+        lvl, y, x, offset, resp, valid = detect_extrema(ss.dog[o], cfg)
+        kps = _orientation_pass(ss, o, lvl, y, x, offset, resp, valid,
+                                pyr_cfg, cfg)
+        desc = describe_octave(ss, o, kps, cfg)
+        factor = (2.0 ** o) * base_scale
+        lvl_f = kps.level.astype(jnp.float32) + kps.scale_off
+        sigma_base = factor * pyr_cfg.base_sigma * pyr_cfg.k_factor ** lvl_f
+        per_oct.append((kps, desc, factor, sigma_base))
+
+    # Merge octaves: global top max_keypoints by response.
+    K = cfg.max_keypoints
+    resp_all = jnp.concatenate([k.response for k, _, _, _ in per_oct])
+    valid_all = jnp.concatenate([k.valid for k, _, _, _ in per_oct])
+    idx, mask = top_k_select(resp_all, valid_all, K)
+
+    def cat(field_fn):
+        return jnp.concatenate([field_fn(t) for t in per_oct], axis=0)
+
+    yx_base = cat(lambda t: t[0].yx_oct * t[2])
+    yx_oct = cat(lambda t: t[0].yx_oct)
+    octave = jnp.concatenate([
+        jnp.full_like(t[0].level, o)
+        for o, t in enumerate(per_oct)])
+    level = cat(lambda t: t[0].level)
+    sigma = cat(lambda t: t[3])
+    orientation = cat(lambda t: t[0].orientation)
+    desc_all = cat(lambda t: t[1])
+
+    kps = Keypoints(
+        yx=yx_base[idx] * mask[:, None],
+        yx_oct=yx_oct[idx] * mask[:, None],
+        octave=jnp.where(mask, octave[idx], 0),
+        level=jnp.where(mask, level[idx], 0),
+        sigma=jnp.where(mask, sigma[idx], 0.0),
+        orientation=jnp.where(mask, orientation[idx], 0.0),
+        response=jnp.where(mask, resp_all[idx], 0.0),
+        valid=mask,
+    )
+    return Features(kps, desc_all[idx] * mask[:, None])
+
+
+detect_and_describe_sift_jit = jax.jit(detect_and_describe_sift,
+                                       static_argnums=(1, 2))

@@ -60,6 +60,35 @@ def sample_bilinear(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
             + wy * (1 - wx) * v10 + wy * wx * v11)
 
 
+def sample_bilinear_stack(stack: jnp.ndarray, level_idx: jnp.ndarray,
+                          coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample stack[L, H, W] at per-item levels.
+
+    level_idx: [K] int32; coords: [K, ..., 2] float (y, x) within the level
+    image. One fused gather: the stack is viewed as a single [L*H, W] image
+    and y-coords are offset by level*H after clamping inside the level, so
+    interpolation never crosses level boundaries.
+    """
+    L, H, W = stack.shape
+    flat = stack.reshape(L * H, W)
+    y = jnp.clip(coords[..., 0], 0.0, H - 1.0)
+    x = jnp.clip(coords[..., 1], 0.0, W - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = y - y0.astype(y.dtype)
+    wx = x - x0.astype(x.dtype)
+    off = level_idx * H
+    off = off.reshape(off.shape + (1,) * (coords.ndim - 2))
+    v00 = flat[y0 + off, x0]
+    v01 = flat[y0 + off, x1]
+    v10 = flat[y1 + off, x0]
+    v11 = flat[y1 + off, x1]
+    return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
+            + wy * (1 - wx) * v10 + wy * wx * v11)
+
+
 def rotated_grid(yx: jnp.ndarray, angle_deg: jnp.ndarray, size: int,
                  step: jnp.ndarray | float = 1.0) -> jnp.ndarray:
     """Sampling coords of a size x size window rotated by angle about yx.

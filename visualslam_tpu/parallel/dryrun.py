@@ -20,7 +20,7 @@ from visualslam_tpu.utils.config import DEFAULT_CONFIG
 
 def run_dryrun(n_devices: int) -> None:
     mesh = make_mesh(n_devices, axis="data")
-    cfg = DEFAULT_CONFIG.replace(image_height=64, image_width=96, frontend="harris")  # -> "sift" when the SIFT frontend lands
+    cfg = DEFAULT_CONFIG.replace(image_height=64, image_width=96)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((n_devices, 64, 96), dtype=np.float32))
 
