@@ -29,8 +29,14 @@ def top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
     actually valid (if fewer than k valid entries exist, the tail is masked
     out and indices there are arbitrary but in-range).
     """
+    n = scores.shape[0]
     scores = jnp.where(valid, scores, NEG_INF)
-    top_scores, idx = jax.lax.top_k(scores, k)
+    kk = min(k, n)
+    top_scores, idx = jax.lax.top_k(scores, kk)
+    if kk < k:  # capacity exceeds population: pad with masked slots
+        idx = jnp.concatenate([idx, jnp.zeros((k - kk,), idx.dtype)])
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((k - kk,), NEG_INF, top_scores.dtype)])
     mask = top_scores > NEG_INF
     return idx, mask
 
