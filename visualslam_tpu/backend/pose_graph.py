@@ -1,0 +1,140 @@
+"""Pose-graph optimization: damped GN on SE(3) relative-pose constraints.
+
+Absent in the reference (BASELINE.json north_star; SURVEY.md §2.3). Design:
+fixed-capacity edge SoA, per-edge Jacobians by forward-mode autodiff of the
+residual at the identity perturbation (exact, and immune to hand-derived
+adjoint sign errors), normal equations assembled with segment_sum over
+(i, j) block-pair indices, dense damped solve with node 0 as gauge.
+
+Residual: r_e = log( Tm_e^-1 . T_i^-1 . T_j )  (measurement Tm_e = pose of
+j expressed in i's frame), perturbation T_k <- exp(xi_k) T_k.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visualslam_tpu.geometry import se3
+from visualslam_tpu.utils.config import PoseGraphConfig
+
+
+class PoseGraph(NamedTuple):
+    R: jnp.ndarray          # [N, 3, 3] node rotations (world-to-node or any
+    t: jnp.ndarray          # [N, 3]    consistent convention)
+    node_valid: jnp.ndarray  # [N]
+    i: jnp.ndarray          # [E] int32 source node
+    j: jnp.ndarray          # [E] int32 target node
+    Rm: jnp.ndarray         # [E, 3, 3] measured relative rotation (j in i)
+    tm: jnp.ndarray         # [E, 3]
+    weight: jnp.ndarray     # [E] scalar information weight
+    edge_valid: jnp.ndarray  # [E]
+
+
+class PoseGraphResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+
+
+def _edge_residual(xi_i, xi_j, Ri, ti, Rj, tj, Rm, tm):
+    dRi, dti = se3.se3_exp(xi_i)
+    dRj, dtj = se3.se3_exp(xi_j)
+    Ri2 = dRi @ Ri
+    ti2 = (dRi @ ti) + dti
+    Rj2 = dRj @ Rj
+    tj2 = (dRj @ tj) + dtj
+    Rrel, trel = se3.relative(Ri2, ti2, Rj2, tj2)   # T_i^-1 T_j
+    Rmi, tmi = se3.inverse(Rm, tm)
+    Re, te = se3.compose(Rmi, tmi, Rrel, trel)      # Tm^-1 T_i^-1 T_j
+    return se3.se3_log(Re, te)
+
+
+def _residuals_and_jacobians(g: PoseGraph, R, t):
+    zero = jnp.zeros(6, R.dtype)
+
+    def one(Ri, ti, Rj, tj, Rm, tm):
+        r = _edge_residual(zero, zero, Ri, ti, Rj, tj, Rm, tm)
+        Ji = jax.jacfwd(_edge_residual, argnums=0)(
+            zero, zero, Ri, ti, Rj, tj, Rm, tm)
+        Jj = jax.jacfwd(_edge_residual, argnums=1)(
+            zero, zero, Ri, ti, Rj, tj, Rm, tm)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(R[g.i], t[g.i], R[g.j], t[g.j], g.Rm, g.tm)
+
+
+def pose_graph_cost(g: PoseGraph, R, t) -> jnp.ndarray:
+    def one(Ri, ti, Rj, tj, Rm, tm):
+        zero = jnp.zeros(6, R.dtype)
+        return _edge_residual(zero, zero, Ri, ti, Rj, tj, Rm, tm)
+
+    r = jax.vmap(one)(R[g.i], t[g.i], R[g.j], t[g.j], g.Rm, g.tm)
+    w = g.weight * g.edge_valid
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+def _gn_step(g: PoseGraph, R, t, lam):
+    N = R.shape[0]
+    r, Ji, Jj = _residuals_and_jacobians(g, R, t)    # [E,6], [E,6,6] x2
+    w = (g.weight * g.edge_valid)[:, None, None]
+    Jiw = Ji * w
+    Jjw = Jj * w
+
+    # block contributions via segment_sum over pair indices
+    pair_ii = g.i * N + g.i
+    pair_ij = g.i * N + g.j
+    pair_ji = g.j * N + g.i
+    pair_jj = g.j * N + g.j
+    blocks = (
+        jnp.einsum("eai,eaj->eij", Jiw, Ji),
+        jnp.einsum("eai,eaj->eij", Jiw, Jj),
+        jnp.einsum("eai,eaj->eij", Jjw, Ji),
+        jnp.einsum("eai,eaj->eij", Jjw, Jj),
+    )
+    pairs = (pair_ii, pair_ij, pair_ji, pair_jj)
+    H = jnp.zeros((N * N, 6, 6), R.dtype)
+    for blk, pr in zip(blocks, pairs):
+        H = H + jax.ops.segment_sum(blk, pr, N * N)
+    H = H.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+
+    b = (-jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jiw, r), g.i, N)
+         - jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jjw, r), g.j, N))
+
+    frozen = ~g.node_valid | (jnp.arange(N) == 0)
+    free = (~frozen).astype(R.dtype)
+    m = jnp.repeat(free, 6)
+    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    H = H + lam * jnp.eye(6 * N, dtype=R.dtype)
+    dx = jnp.linalg.solve(H, b.reshape(-1) * m).reshape(N, 6)
+
+    dR, dt = se3.se3_exp(dx)
+    return dR @ R, (dR @ t[..., None])[..., 0] + dt
+
+
+def optimize_pose_graph(g: PoseGraph, cfg: PoseGraphConfig) -> PoseGraphResult:
+    R, t = g.R, g.t
+    lam = jnp.asarray(cfg.damping, R.dtype)
+    cost = pose_graph_cost(g, R, t)
+    init = cost
+
+    def body(carry, _):
+        R, t, lam, cost = carry
+        Rn, tn = _gn_step(g, R, t, lam)
+        cn = pose_graph_cost(g, Rn, tn)
+        acc = cn < cost
+        R2 = jnp.where(acc, Rn, R)
+        t2 = jnp.where(acc, tn, t)
+        c2 = jnp.where(acc, cn, cost)
+        lam2 = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+        return (R2, t2, lam2, c2), cn
+
+    (R, t, lam, cost), _ = jax.lax.scan(body, (R, t, lam, cost), None,
+                                        length=cfg.iters)
+    return PoseGraphResult(R=R, t=t, cost=cost, initial_cost=init)
+
+
+optimize_pose_graph_jit = jax.jit(optimize_pose_graph, static_argnums=1)

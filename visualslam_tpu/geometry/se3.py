@@ -28,16 +28,26 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
     ], -2)
 
 
+def _exp_coeffs(w: jnp.ndarray):
+    """(a, b, c) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3) as [..., 1, 1],
+    computed NaN-safely for autodiff: the branch variable is t^2 = |w|^2
+    (smooth at 0), and sqrt only ever sees values >= eps."""
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = t2 < 1e-8
+    t2s = jnp.where(small, 1.0, t2)
+    th = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2s)
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (th - jnp.sin(th)) / (t2s * th))
+    return a, b, c
+
+
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: [..., 3] axis-angle -> [..., 3, 3] rotation."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]   # [...,1,1]
     W = hat(w)
     W2 = W @ W
-    t2 = theta * theta
-    # sin(t)/t and (1-cos t)/t^2 with Taylor guards
-    a = jnp.where(theta < _EPS, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(theta < _EPS, 1.0, theta))
-    b = jnp.where(theta < _EPS, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(theta < _EPS, 1.0, t2))
+    a, b, _ = _exp_coeffs(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
@@ -78,17 +88,12 @@ def se3_exp(xi: jnp.ndarray):
     t = V(omega) v with the SE(3) left Jacobian V."""
     w = xi[..., :3]
     v = xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
     W = hat(w)
     W2 = W @ W
-    t2 = theta * theta
-    b = jnp.where(theta < _EPS, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(theta < _EPS, 1.0, t2))
-    c = jnp.where(theta < _EPS, 1.0 / 6.0 - t2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(theta < _EPS, 1.0, t2 * theta))
+    a, b, c = _exp_coeffs(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
+    R = eye + a * W + b * W2
     V = eye + b * W + c * W2
-    R = exp_so3(w)
     t = (V @ v[..., None])[..., 0]
     return R, t
 
