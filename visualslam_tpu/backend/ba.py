@@ -135,13 +135,18 @@ def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-def ba_step(p: BAProblem, R, t, X, lam, cfg: BAConfig):
-    """One damped-GN (LM) step: returns proposed (R, t, X)."""
+def normal_equations(p: BAProblem, R, t, X, cfg: BAConfig):
+    """Assemble (U [C,6,6], V [L,3,3], bc [C,6], bl [L,3], Wd [C,L,6,3]).
+
+    The camera-landmark coupling Wd is built by a one-hot scatter so the
+    whole assembly is segment-sums + matmuls. Under shard_map this runs on
+    the LOCAL observation/landmark shard and the caller psums the reduced
+    camera system (SURVEY.md §5: Schur assembly with psum over landmark
+    contributions)."""
     C = R.shape[0]
     L = X.shape[0]
-    r, Jc, Jl, w = _residuals_jacobians(p, R, t, X, cfg.huber_delta)
+    r, Jc, Jl, _ = _residuals_jacobians(p, R, t, X, cfg.huber_delta)
 
-    # Per-camera and per-landmark normal blocks via segment-sum.
     JcT_Jc = jnp.einsum("oai,oaj->oij", Jc, Jc)          # [O, 6, 6]
     JlT_Jl = jnp.einsum("oai,oaj->oij", Jl, Jl)          # [O, 3, 3]
     JcT_r = jnp.einsum("oai,oa->oi", Jc, r)              # [O, 6]
@@ -151,51 +156,63 @@ def ba_step(p: BAProblem, R, t, X, lam, cfg: BAConfig):
     bc = -jax.ops.segment_sum(JcT_r, p.cam_idx, C)       # [C, 6]
     bl = -jax.ops.segment_sum(JlT_r, p.lm_idx, L)        # [L, 3]
 
-    # Dense camera-landmark coupling W[c, 6, l, 3] via one-hot scatter
-    # (O x C one-hot matmul -> MXU; C is small so this is cheap).
     JcT_Jl = jnp.einsum("oai,oaj->oij", Jc, Jl)          # [O, 6, 3]
     cam_oh = jax.nn.one_hot(p.cam_idx, C, dtype=r.dtype)  # [O, C]
     lm_oh = jax.nn.one_hot(p.lm_idx, L, dtype=r.dtype)    # [O, L]
-    # Wd[c, l, 6, 3] = sum_o oh[o,c] oh[o,l] JcT_Jl[o]
-    Wd = jnp.einsum("oc,ol,oij->clij", cam_oh, lm_oh, JcT_Jl)
+    Wd = jnp.einsum("oc,ol,oij->clij", cam_oh, lm_oh, JcT_Jl)  # [C, L, 6, 3]
+    return U, V, bc, bl, Wd
 
-    # Damping (multiplicative on block diagonals).
-    eye6 = jnp.eye(6, dtype=r.dtype)
-    eye3 = jnp.eye(3, dtype=r.dtype)
-    U_d = U + lam * eye6
-    V_d = V + lam * eye3
-    V_inv = _inv3x3(V_d)                                 # [L, 3, 3]
 
-    # Schur complement S = blockdiag(U_d) - Wd V^-1 Wd^T  (dense 6C x 6C).
+def schur_camera_system(U, V, bc, bl, Wd, lam):
+    """Local (partial) reduced camera system before cross-shard reduction.
+
+    Returns (S_partial [C,6,C,6], b_partial [C,6], V_inv [L,3,3]). Damping
+    of U is NOT applied here (the caller adds lam*I once, after any psum)."""
+    C = U.shape[0]
+    eye3 = jnp.eye(3, dtype=U.dtype)
+    V_inv = _inv3x3(V + lam * eye3)                      # [L, 3, 3]
     Y = jnp.einsum("clij,ljk->clik", Wd, V_inv)          # [C, L, 6, 3]
-    S_red = jnp.einsum("clik,dljk->cidj", Y, Wd)         # [C, 6, C, 6]
-    S = -S_red
-    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U_d)
-    b_red = bc - jnp.einsum("clik,lk->ci", Y, bl)        # [C, 6]
+    S = -jnp.einsum("clik,dljk->cidj", Y, Wd)            # [C, 6, C, 6]
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(U)
+    b = bc - jnp.einsum("clik,lk->ci", Y, bl)            # [C, 6]
+    return S, b, V_inv
 
-    # Gauge fixing: freeze invalid cameras and (optionally) camera 0.
-    frozen = ~p.cam_valid
+
+def solve_cameras(S, b, cam_valid, lam, cfg: BAConfig):
+    """Damp, gauge-fix, and dense-solve the reduced 6C x 6C system."""
+    C = cam_valid.shape[0]
+    frozen = ~cam_valid
     if cfg.fix_first_camera:
         frozen = frozen | (jnp.arange(C) == 0)
-    free = (~frozen).astype(r.dtype)
+    free = (~frozen).astype(S.dtype)
     mask6 = jnp.repeat(free, 6)
-    S2 = S.reshape(6 * C, 6 * C) * mask6[:, None] * mask6[None, :]
+    S2 = S.reshape(6 * C, 6 * C) + lam * jnp.eye(6 * C, dtype=S.dtype)
+    S2 = S2 * mask6[:, None] * mask6[None, :]
     S2 = S2 + jnp.diag(1.0 - mask6)                      # identity on frozen
-    b2 = b_red.reshape(-1) * mask6
+    b2 = b.reshape(-1) * mask6
+    return jnp.linalg.solve(S2, b2).reshape(C, 6)
 
-    dc = jnp.linalg.solve(S2, b2).reshape(C, 6)          # camera increments
 
-    # Back-substitute landmarks: dl = V^-1 (bl - Wd^T dc).
+def backsub_landmarks(V_inv, bl, Wd, dc, lm_valid):
+    """dl = V^-1 (bl - Wd^T dc), masked to valid landmarks."""
     WtD = jnp.einsum("clij,ci->lj", Wd, dc)              # [L, 3]
     dl = jnp.einsum("lij,lj->li", V_inv, bl - WtD)       # [L, 3]
-    dl = dl * p.lm_valid[:, None]
+    return dl * lm_valid[:, None]
 
-    # Apply increments: left-multiplicative pose update, additive points.
+
+def apply_increments(R, t, X, dc, dl):
+    """Left-multiplicative pose update, additive point update."""
     dR, dt = se3.se3_exp(dc)
-    R_new = dR @ R
-    t_new = (dR @ t[..., None])[..., 0] + dt
-    X_new = X + dl
-    return R_new, t_new, X_new
+    return dR @ R, (dR @ t[..., None])[..., 0] + dt, X + dl
+
+
+def ba_step(p: BAProblem, R, t, X, lam, cfg: BAConfig):
+    """One damped-GN (LM) step: returns proposed (R, t, X)."""
+    U, V, bc, bl, Wd = normal_equations(p, R, t, X, cfg)
+    S, b, V_inv = schur_camera_system(U, V, bc, bl, Wd, lam)
+    dc = solve_cameras(S, b, p.cam_valid, lam, cfg)
+    dl = backsub_landmarks(V_inv, bl, Wd, dc, p.lm_valid)
+    return apply_increments(R, t, X, dc, dl)
 
 
 def run_ba(p: BAProblem, cfg: BAConfig) -> BAResult:
