@@ -1,0 +1,161 @@
+"""SLAM map state: keyframes, landmarks, observations.
+
+The keyframe/map data model the reference never built (SURVEY.md §2.3
+"Keyframe/map data model": fixed-capacity SoA with occupancy masks). Storage
+lives host-side in NumPy (map maintenance is branchy bookkeeping — slot
+allocation, eviction, association — that belongs on the host); every device
+phase (frontend, matching, PnP, triangulation, BA) receives fixed-shape
+array views of this state, so all heavy math stays jitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SlamMap:
+    """Fixed-capacity sliding-window map."""
+
+    def __init__(self, window: int, max_landmarks: int, feat_capacity: int):
+        self.window = window
+        self.max_landmarks = max_landmarks
+        C, L = window, max_landmarks
+        # keyframes (ring buffer of slots)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        self.kf_t = np.zeros((C, 3), np.float32)
+        self.kf_valid = np.zeros(C, bool)
+        self.kf_frame_id = np.full(C, -1, np.int64)
+        self.kf_order: list[int] = []           # slots, oldest first
+        # per-keyframe features (for matching) + kp->landmark association
+        self.kf_desc = [None] * C
+        self.kf_yx = [None] * C
+        self.kf_kp_valid = [None] * C
+        self.kf_kp_lm = [np.full(feat_capacity, -1, np.int64)
+                         for _ in range(C)]
+        # landmarks
+        self.X = np.zeros((L, 3), np.float32)
+        self.lm_valid = np.zeros(L, bool)
+        self.lm_obs_count = np.zeros(L, np.int32)
+        self._lm_cursor = 0
+        # observations: dict slot -> (lm_idx array, uv array) per keyframe
+        self.obs = {}
+
+    # ---------- keyframes ----------
+
+    def allocate_keyframe(self) -> tuple[int, int | None]:
+        """Returns (slot, evicted_slot or None). Evicts the oldest keyframe
+        when the window is full."""
+        evicted = None
+        if len(self.kf_order) == self.window:
+            evicted = self.kf_order.pop(0)
+            self._remove_keyframe(evicted)
+        free = np.nonzero(~self.kf_valid)[0]
+        slot = int(free[0])
+        self.kf_order.append(slot)
+        return slot, evicted
+
+    def _remove_keyframe(self, slot: int) -> None:
+        if slot in self.obs:
+            lm_idx, _ = self.obs.pop(slot)
+            np.subtract.at(self.lm_obs_count, lm_idx, 1)
+        self.kf_valid[slot] = False
+        self.kf_frame_id[slot] = -1
+        self.kf_desc[slot] = None
+        self.kf_yx[slot] = None
+        self.kf_kp_valid[slot] = None
+        self.kf_kp_lm[slot][:] = -1
+        # free landmarks nobody observes anymore
+        dead = self.lm_valid & (self.lm_obs_count <= 0)
+        self.lm_valid[dead] = False
+
+    def set_keyframe(self, slot: int, frame_id: int, R, t, desc, yx,
+                     kp_valid) -> None:
+        self.kf_R[slot] = R
+        self.kf_t[slot] = t
+        self.kf_valid[slot] = True
+        self.kf_frame_id[slot] = frame_id
+        self.kf_desc[slot] = desc
+        self.kf_yx[slot] = yx
+        self.kf_kp_valid[slot] = kp_valid
+        self.kf_kp_lm[slot][:] = -1
+
+    def last_keyframe_slot(self) -> int:
+        return self.kf_order[-1]
+
+    # ---------- landmarks ----------
+
+    def allocate_landmarks(self, X_new: np.ndarray) -> np.ndarray:
+        """Allocate len(X_new) landmark slots (free slots first, then
+        overwrite-oldest wraparound). Returns the slot indices."""
+        n = len(X_new)
+        free = np.nonzero(~self.lm_valid)[0]
+        if len(free) >= n:
+            idx = free[:n]
+        else:  # wraparound: steal from the cursor onwards
+            extra = n - len(free)
+            steal = (self._lm_cursor + np.arange(extra)) % self.max_landmarks
+            self._lm_cursor = int((self._lm_cursor + extra)
+                                  % self.max_landmarks)
+            idx = np.concatenate([free, steal])
+        self.X[idx] = X_new
+        self.lm_valid[idx] = True
+        self.lm_obs_count[idx] = 0
+        return idx
+
+    def add_observations(self, slot: int, lm_idx: np.ndarray,
+                         uv: np.ndarray) -> None:
+        """Record that keyframe `slot` observes lm_idx at normalized uv."""
+        lm_idx = np.asarray(lm_idx, np.int64)
+        np.add.at(self.lm_obs_count, lm_idx, 1)
+        if slot in self.obs:
+            old_lm, old_uv = self.obs[slot]
+            lm_idx = np.concatenate([old_lm, lm_idx])
+            uv = np.concatenate([old_uv, uv])
+        self.obs[slot] = (lm_idx.astype(np.int64), uv.astype(np.float32))
+
+    # ---------- BA problem extraction ----------
+
+    def build_ba_arrays(self, max_obs: int):
+        """Flatten window observations into fixed-capacity BA arrays.
+
+        Returns (cam_slot_map [C_active], R, t, lm_slots [L_active], X,
+        cam_idx, lm_idx, uv, obs_valid) with lm/cam indices COMPACTED to the
+        active sets. Host-side numpy."""
+        slots = [s for s in self.kf_order if self.kf_valid[s]]
+        cam_of_slot = {s: i for i, s in enumerate(slots)}
+        lm_used = set()
+        cams, lms, uvs = [], [], []
+        for s in slots:
+            if s not in self.obs:
+                continue
+            lm_idx, uv = self.obs[s]
+            keep = self.lm_valid[lm_idx]
+            lm_idx = lm_idx[keep]
+            uv = uv[keep]
+            cams.append(np.full(len(lm_idx), cam_of_slot[s]))
+            lms.append(lm_idx)
+            uvs.append(uv)
+            lm_used.update(lm_idx.tolist())
+        lm_slots = np.asarray(sorted(lm_used), np.int64)
+        lm_remap = {g: i for i, g in enumerate(lm_slots.tolist())}
+        cam_idx = np.concatenate(cams) if cams else np.zeros(0, np.int64)
+        lm_idx = (np.asarray([lm_remap[g] for g in np.concatenate(lms)])
+                  if lms else np.zeros(0, np.int64))
+        uv = np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32)
+
+        O = min(len(cam_idx), max_obs)
+        order = np.arange(len(cam_idx))
+        if len(cam_idx) > max_obs:  # keep the newest observations
+            order = order[-max_obs:]
+        pad = max_obs - O
+        cam_out = np.concatenate([cam_idx[order], np.zeros(pad, np.int64)])
+        lm_out = np.concatenate([lm_idx[order], np.zeros(pad, np.int64)])
+        uv_out = np.concatenate([uv[order], np.zeros((pad, 2), np.float32)])
+        valid = np.concatenate([np.ones(O, bool), np.zeros(pad, bool)])
+        return (np.asarray(slots), self.kf_R[slots], self.kf_t[slots],
+                lm_slots, self.X[lm_slots], cam_out, lm_out, uv_out, valid)
+
+    def writeback_ba(self, slots, lm_slots, R, t, X) -> None:
+        self.kf_R[slots] = R
+        self.kf_t[slots] = t
+        self.X[lm_slots] = X

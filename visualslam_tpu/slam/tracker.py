@@ -1,0 +1,325 @@
+"""Monocular SLAM tracking loop.
+
+The "tied together" SLAM solution the reference's README promises
+(README.md:24) but never builds. Host-side orchestration (this file) is thin
+bookkeeping; every compute phase is a jitted fixed-shape device program:
+
+  frontend  detect_and_describe (SIFT/ORB)          models/
+  matching  ratio+mutual matcher                    models/matching
+  init      essential RANSAC + triangulation        geometry/
+  tracking  motion-only LM (PnP refine)             backend/pnp
+  mapping   DLT triangulation of new landmarks      geometry/epipolar
+  backend   sliding-window Schur BA                 backend/ba
+
+Pose convention: world-to-camera (x_cam = R X_w + t); world frame = first
+keyframe. Monocular scale is fixed at two-view init by normalizing median
+scene depth to `init_depth`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from visualslam_tpu.backend.ba import BAProblem, run_ba_jit
+from visualslam_tpu.backend.pnp import refine_pose_jit
+from visualslam_tpu.frontend import detect_and_describe
+from visualslam_tpu.geometry import se3
+from visualslam_tpu.geometry.camera import normalized
+from visualslam_tpu.geometry.epipolar import triangulate
+from visualslam_tpu.geometry.ransac import estimate_relative_pose
+from visualslam_tpu.models.matching import match_features
+from visualslam_tpu.models.types import Features, Keypoints
+from visualslam_tpu.utils.config import SlamConfig
+
+
+@dataclass
+class FrameResult:
+    frame_id: int
+    R: np.ndarray               # world-to-camera
+    t: np.ndarray
+    num_matches: int = 0
+    num_inliers: int = 0
+    is_keyframe: bool = False
+    tracking_ok: bool = True
+
+
+class Tracker:
+    """Monocular tracker with sliding-window BA."""
+
+    def __init__(self, cfg: SlamConfig, intrinsics, init_depth: float = 20.0,
+                 run_ba: bool = True):
+        from visualslam_tpu.slam.map_state import SlamMap
+
+        self.cfg = cfg
+        self.intr = jnp.asarray(intrinsics, jnp.float32)
+        self.init_depth = init_depth
+        self.run_ba = run_ba
+        feat_cap = (cfg.sift.max_keypoints if cfg.frontend == "sift"
+                    else cfg.orb.max_keypoints)
+        self.map = SlamMap(cfg.ba.max_cameras, cfg.ba.max_landmarks, feat_cap)
+        self.frames: list[FrameResult] = []
+        self._prev_feats: Optional[Features] = None
+        self._frames_since_kf = 0
+        self._last_R = np.eye(3, dtype=np.float32)
+        self._last_t = np.zeros(3, np.float32)
+        self._vel = np.zeros(6, np.float32)  # constant-velocity model (twist)
+
+        self._frontend = jax.jit(
+            lambda im: detect_and_describe(im, cfg))
+        self._match = jax.jit(
+            lambda fa, fb: match_features(fa, fb, cfg.match))
+        self._ransac = jax.jit(
+            lambda x1, x2, v, k: estimate_relative_pose(
+                x1, x2, v, cfg.ransac, k))
+        self._key = jax.random.PRNGKey(cfg.ransac.seed)
+
+    # ------------------------------------------------------------------
+
+    def process(self, img: np.ndarray, frame_id: int) -> FrameResult:
+        feats = self._frontend(jnp.asarray(img, jnp.float32))
+        return self.process_features(feats, frame_id)
+
+    def process_features(self, feats: Features, frame_id: int) -> FrameResult:
+        """Run tracking on precomputed Features (lets tests and alternative
+        frontends bypass detection)."""
+        if not self.map.kf_order:
+            return self._bootstrap(feats, frame_id)
+        if not self.map.lm_valid.any():
+            return self._two_view_init(feats, frame_id)
+        return self._track(feats, frame_id)
+
+    # ------------------------------------------------------------------
+
+    def _store_result(self, frame_id, R, t, **kw) -> FrameResult:
+        # copy=True: R/t may be views into the keyframe ring buffer, whose
+        # slots get overwritten after eviction — history must not alias it
+        res = FrameResult(frame_id=frame_id,
+                          R=np.array(R, np.float32, copy=True),
+                          t=np.array(t, np.float32, copy=True), **kw)
+        self.frames.append(res)
+        self._last_R = res.R
+        self._last_t = res.t
+        return res
+
+    def _new_keyframe(self, feats: Features, frame_id, R, t):
+        slot, _ = self.map.allocate_keyframe()
+        self.map.set_keyframe(
+            slot, frame_id, np.asarray(R), np.asarray(t),
+            feats.descriptors, np.asarray(feats.keypoints.yx),
+            np.asarray(feats.keypoints.valid))
+        self._prev_feats = feats
+        self._frames_since_kf = 0
+        return slot
+
+    def _bootstrap(self, feats, frame_id) -> FrameResult:
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        self._new_keyframe(feats, frame_id, R, t)
+        return self._store_result(frame_id, R, t, is_keyframe=True)
+
+    # ------------------------------------------------------------------
+
+    def _two_view_init(self, feats, frame_id) -> FrameResult:
+        kf = self.map.last_keyframe_slot()
+        prev = self._prev_feats
+        m = self._match(prev, feats)
+        uv1 = prev.keypoints.yx[m.idx_a][:, ::-1]
+        uv2 = feats.keypoints.yx[m.idx_b][:, ::-1]
+        x1 = normalized(uv1, self.intr)
+        x2 = normalized(uv2, self.intr)
+        self._key, sub = jax.random.split(self._key)
+        R, t, X, inl, n = self._ransac(x1, x2, m.valid, sub)
+        n = int(n)
+        if n < self.cfg.keyframe_min_inliers:
+            # not enough parallax yet; keep waiting
+            return self._store_result(frame_id, self._last_R, self._last_t,
+                                      num_matches=int(m.count()),
+                                      num_inliers=n, tracking_ok=False)
+        # fix monocular scale: median depth of inliers -> init_depth
+        X = np.asarray(X)
+        inl_np = np.asarray(inl)
+        depth = np.median(X[inl_np, 2])
+        s = self.init_depth / max(depth, 1e-6)
+        X = X * s
+        t = np.asarray(t) * s
+        R = np.asarray(R)
+
+        # register landmarks + observations in both keyframes
+        idx_a = np.asarray(m.idx_a)[inl_np]
+        idx_b = np.asarray(m.idx_b)[inl_np]
+        lm_idx = self.map.allocate_landmarks(X[inl_np])
+        uv1_in = np.asarray(x1)[inl_np]
+        uv2_in = np.asarray(x2)[inl_np]
+        self.map.add_observations(kf, lm_idx, uv1_in)
+        self.map.kf_kp_lm[kf][idx_a] = lm_idx
+
+        slot = self._new_keyframe(feats, frame_id, R, t)
+        self.map.add_observations(slot, lm_idx, uv2_in)
+        self.map.kf_kp_lm[slot][idx_b] = lm_idx
+        self._run_window_ba()
+        return self._store_result(frame_id, self.map.kf_R[slot],
+                                  self.map.kf_t[slot],
+                                  num_matches=int(m.count()), num_inliers=n,
+                                  is_keyframe=True)
+
+    # ------------------------------------------------------------------
+
+    def _track(self, feats, frame_id) -> FrameResult:
+        kf = self.map.last_keyframe_slot()
+        prev = self._prev_feats
+        m = self._match(prev, feats)
+        mv = np.asarray(m.valid)
+        idx_a = np.asarray(m.idx_a)
+        idx_b = np.asarray(m.idx_b)
+
+        # split matches: tracked landmarks (3D-2D) vs new (2D-2D)
+        kp_lm = self.map.kf_kp_lm[kf]
+        lm_of_match = np.where(mv, kp_lm[idx_a], -1)
+        has_lm = lm_of_match >= 0
+
+        M = len(idx_a)
+        uv2 = np.asarray(feats.keypoints.yx)[idx_b][:, ::-1]
+        x2 = np.asarray(normalized(jnp.asarray(uv2), self.intr))
+        Xw = self.map.X[np.maximum(lm_of_match, 0)]
+
+        # constant-velocity pose prediction
+        dR, dt = se3.se3_exp(jnp.asarray(self._vel))
+        R0 = np.asarray(dR) @ self._last_R
+        t0 = np.asarray(dR) @ self._last_t + np.asarray(dt)
+
+        pr = refine_pose_jit(jnp.asarray(R0), jnp.asarray(t0),
+                             jnp.asarray(Xw), jnp.asarray(x2),
+                             jnp.asarray(has_lm))
+        n_inl = int(pr.num_inliers)
+        ok = n_inl >= max(10, self.cfg.keyframe_min_inliers // 3)
+        if ok:
+            R, t = np.asarray(pr.R), np.asarray(pr.t)
+            # update velocity model: vel = log(T_new T_old^-1)
+            Ri, ti = se3.inverse(jnp.asarray(self._last_R),
+                                 jnp.asarray(self._last_t))
+            Rrel, trel = se3.compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
+            self._vel = np.asarray(se3.se3_log(Rrel, trel))
+        else:
+            R, t = R0, t0  # fall back to prediction
+
+        self._frames_since_kf += 1
+        need_kf = (n_inl < self.cfg.keyframe_min_inliers
+                   or self._frames_since_kf >= self.cfg.keyframe_max_gap)
+        is_kf = False
+        if need_kf and ok:
+            is_kf = True
+            self._make_keyframe_from_tracking(
+                feats, frame_id, R, t, m, lm_of_match, np.asarray(pr.inliers),
+                x2)
+        return self._store_result(frame_id, R, t,
+                                  num_matches=int(mv.sum()),
+                                  num_inliers=n_inl, is_keyframe=is_kf,
+                                  tracking_ok=ok)
+
+    # ------------------------------------------------------------------
+
+    def _make_keyframe_from_tracking(self, feats, frame_id, R, t, m,
+                                     lm_of_match, pnp_inliers, x2_all):
+        prev_kf = self.map.last_keyframe_slot()
+        prev_R = self.map.kf_R[prev_kf].copy()
+        prev_t = self.map.kf_t[prev_kf].copy()
+        prev_kp_lm = self.map.kf_kp_lm[prev_kf]
+        mv = np.asarray(m.valid)
+        idx_a = np.asarray(m.idx_a)
+        idx_b = np.asarray(m.idx_b)
+
+        slot = self._new_keyframe(feats, frame_id, R, t)
+
+        # 1. observations of tracked landmarks
+        tracked = (lm_of_match >= 0) & pnp_inliers & mv
+        if tracked.any():
+            self.map.add_observations(slot, lm_of_match[tracked],
+                                      x2_all[tracked])
+            self.map.kf_kp_lm[slot][idx_b[tracked]] = lm_of_match[tracked]
+
+        # 2. triangulate new landmarks from unassociated 2D-2D matches
+        new2d = mv & (lm_of_match < 0)
+        if new2d.sum() >= 8:
+            uv1 = self.map.kf_yx[prev_kf][idx_a][:, ::-1]
+            x1 = np.asarray(normalized(jnp.asarray(uv1), self.intr))
+            # relative pose prev_kf -> current
+            Rpi, tpi = se3.inverse(jnp.asarray(prev_R), jnp.asarray(prev_t))
+            Rrel, trel = se3.compose(jnp.asarray(R), jnp.asarray(t), Rpi, tpi)
+            Xc1 = np.asarray(triangulate(Rrel, trel, jnp.asarray(x1),
+                                         jnp.asarray(x2_all)))
+            # to world: X_w = R_prev^T (X_c1 - t_prev)
+            Xw = (Xc1 - prev_t) @ prev_R
+            # accept: in front of both cams, bounded depth, low reprojection
+            z1 = Xc1[:, 2]
+            Xc2 = Xw @ np.asarray(R).T + np.asarray(t)
+            z2 = Xc2[:, 2]
+            r1 = np.linalg.norm(Xc1[:, :2] / np.maximum(z1[:, None], 1e-6)
+                                - x1, axis=1)
+            r2 = np.linalg.norm(Xc2[:, :2] / np.maximum(z2[:, None], 1e-6)
+                                - x2_all, axis=1)
+            # parallax check: ray angle between the two views
+            good = (new2d & (z1 > 1e-3) & (z2 > 1e-3)
+                    & (z1 < self.init_depth * 20)
+                    & (r1 < 6e-3) & (r2 < 6e-3))
+            if good.any():
+                lm_idx = self.map.allocate_landmarks(Xw[good])
+                self.map.add_observations(prev_kf, lm_idx, x1[good])
+                self.map.add_observations(slot, lm_idx, x2_all[good])
+                self.map.kf_kp_lm[prev_kf][idx_a[good]] = lm_idx
+                self.map.kf_kp_lm[slot][idx_b[good]] = lm_idx
+
+        # 3. windowed BA
+        if self.run_ba:
+            self._run_window_ba()
+        # refresh cached current pose from (possibly) adjusted keyframe
+        self._last_R = self.map.kf_R[slot].copy()
+        self._last_t = self.map.kf_t[slot].copy()
+
+    # ------------------------------------------------------------------
+
+    def _run_window_ba(self) -> None:
+        cfg = self.cfg.ba
+        (slots, R, t, lm_slots, X, cam_idx, lm_idx, uv,
+         valid) = self.map.build_ba_arrays(cfg.max_observations)
+        if len(lm_slots) < 8 or valid.sum() < 24:
+            return
+        C = cfg.max_cameras
+        L = cfg.max_landmarks
+        nC = len(slots)
+        nL = len(lm_slots)
+        if nL > L:
+            return  # window exceeds capacity; skip (shouldn't happen)
+        padC = C - nC
+        padL = L - nL
+        p = BAProblem(
+            R=jnp.asarray(np.concatenate(
+                [R, np.tile(np.eye(3, dtype=np.float32), (padC, 1, 1))])),
+            t=jnp.asarray(np.concatenate([t, np.zeros((padC, 3), np.float32)])),
+            X=jnp.asarray(np.concatenate([X, np.zeros((padL, 3), np.float32)])),
+            cam_idx=jnp.asarray(cam_idx, jnp.int32),
+            lm_idx=jnp.asarray(lm_idx, jnp.int32),
+            uv=jnp.asarray(uv, jnp.float32),
+            obs_valid=jnp.asarray(valid),
+            cam_valid=jnp.asarray(np.arange(C) < nC),
+            lm_valid=jnp.asarray(np.arange(L) < nL),
+        )
+        res = run_ba_jit(p, cfg)
+        self.map.writeback_ba(slots, lm_slots,
+                              np.asarray(res.R[:nC]), np.asarray(res.t[:nC]),
+                              np.asarray(res.X[:nL]))
+
+    # ------------------------------------------------------------------
+
+    def trajectory(self) -> np.ndarray:
+        """[F, 3, 4] camera-to-world pose matrices (KITTI convention)."""
+        out = []
+        for f in self.frames:
+            Rcw = f.R.T
+            c = -f.R.T @ f.t
+            out.append(np.concatenate([Rcw, c[:, None]], axis=1))
+        return np.stack(out)
