@@ -1,0 +1,42 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA reference ops."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from visualslam_tpu.ops.blur import blur_stack
+from visualslam_tpu.ops.pallas.blur import pallas_blur_stack
+
+SIGMAS = (1.6, 2.0158737, 2.5398417, 3.2, 4.0317473, 5.0796833)
+
+
+def test_pallas_blur_matches_xla(rng):
+    img = rng.random((96, 200), dtype=np.float32)
+    got = np.asarray(pallas_blur_stack(jnp.asarray(img), SIGMAS))
+    want = np.asarray(blur_stack(jnp.asarray(img), SIGMAS))
+    assert got.shape == want.shape == (6, 96, 200)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_blur_odd_sizes(rng):
+    """Non-128-multiple W and non-tile-multiple H exercise edge masking."""
+    img = rng.random((83, 131), dtype=np.float32)
+    got = np.asarray(pallas_blur_stack(jnp.asarray(img), (1.6, 3.2)))
+    want = np.asarray(blur_stack(jnp.asarray(img), (1.6, 3.2)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pyramid_pallas_mode_matches_absolute(rng):
+    from visualslam_tpu.models.pyramid import build_pyramid
+    from visualslam_tpu.utils.config import PyramidConfig
+
+    img = jnp.asarray(rng.random((64, 72), dtype=np.float32))
+    ss_p = build_pyramid(img, PyramidConfig(num_octaves=2,
+                                            blur_mode="pallas"))
+    ss_a = build_pyramid(img, PyramidConfig(num_octaves=2,
+                                            blur_mode="absolute"))
+    for o in range(2):
+        np.testing.assert_allclose(np.asarray(ss_p.gauss[o]),
+                                   np.asarray(ss_a.gauss[o]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ss_p.dog[o]),
+                                   np.asarray(ss_a.dog[o]), atol=6e-5)

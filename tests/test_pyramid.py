@@ -69,7 +69,23 @@ def test_pyramid_shapes(blox):
     for o in range(4):
         assert ss.gauss[o].shape == (6, h >> o, w >> o)
         assert ss.dog[o].shape == (5, h >> o, w >> o)
-        assert ss.grad_mag[o].shape == (6, h >> o, w >> o)
+        # default grad_levels="interior": levels 1..s only
+        assert ss.grad_mag[o].shape == (3, h >> o, w >> o)
+    assert ss.grad_level_offset == 1
+
+
+def test_pyramid_grad_levels_all(blox):
+    """grad_levels="all" reproduces the reference's full product set
+    (GaussPyramid.cpp:65-104 computes gradients for every level)."""
+    cfg = PyramidConfig(num_octaves=2, grad_levels="all")
+    ss = build_pyramid_jit(jnp.asarray(blox), cfg)
+    assert ss.grad_mag[0].shape[0] == 6
+    assert ss.grad_level_offset == 0
+    # interior mode slices the same values
+    ssi = build_pyramid_jit(jnp.asarray(blox),
+                            PyramidConfig(num_octaves=2))
+    np.testing.assert_allclose(np.asarray(ssi.grad_mag[0]),
+                               np.asarray(ss.grad_mag[0][1:4]), atol=1e-6)
 
 
 def test_pyramid_matches_golden(rng):

@@ -1,0 +1,155 @@
+"""Command-line entry points — the L4 analogues of the reference's `DoG` and
+`Harris` executables plus the SLAM/benchmark drivers the reference never had.
+
+    python -m visualslam_tpu.cli detect IMAGE [--frontend sift|orb|harris]
+    python -m visualslam_tpu.cli run {--synthetic N | --kitti ROOT --seq 00}
+    python -m visualslam_tpu.cli eval EST_POSES GT_POSES
+    python -m visualslam_tpu.cli benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_detect(args) -> None:
+    import jax.numpy as jnp
+
+    from visualslam_tpu.frontend import detect_and_describe_jit
+    from visualslam_tpu.io.serialization import save_descriptors_dat
+    from visualslam_tpu.slam.viz import draw_keypoints
+    from visualslam_tpu.utils.config import DEFAULT_CONFIG
+    from visualslam_tpu.utils.images import load_gray
+
+    cfg = DEFAULT_CONFIG.replace(frontend=args.frontend)
+    img = load_gray(args.image)
+    feats = detect_and_describe_jit(jnp.asarray(img), cfg)
+    n = int(feats.keypoints.count())
+    print(f"detected {n} keypoints ({args.frontend}) on {args.image} "
+          f"{img.shape}")
+    out_base = args.out or os.path.splitext(os.path.basename(args.image))[0]
+    draw_keypoints(img, feats, out_base + "_keypoints.png")
+    v = np.asarray(feats.keypoints.valid)
+    desc = np.asarray(feats.descriptors, np.float32)[v]
+    save_descriptors_dat(out_base + "_descriptors.dat", desc)
+    print(f"wrote {out_base}_keypoints.png and {out_base}_descriptors.dat")
+
+
+def _make_sequence(args):
+    if args.kitti:
+        from visualslam_tpu.io.kitti import KittiOdometrySequence
+
+        return KittiOdometrySequence(args.kitti, args.seq)
+    from visualslam_tpu.io.kitti import SyntheticSequence
+
+    return SyntheticSequence(num_frames=args.synthetic)
+
+
+def cmd_run(args) -> None:
+    from visualslam_tpu.slam.checkpoint import load_checkpoint, save_checkpoint
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses, rpe
+    from visualslam_tpu.io.serialization import save_kitti_poses
+    from visualslam_tpu.slam.tracker import Tracker
+    from visualslam_tpu.slam.viz import draw_trajectory
+    from visualslam_tpu.utils.config import DEFAULT_CONFIG
+
+    seq = _make_sequence(args)
+    info = seq.info()
+    cfg = DEFAULT_CONFIG.replace(frontend=args.frontend)
+    tracker = Tracker(cfg, info.intrinsics)
+    start = 0
+    if args.resume and os.path.exists(args.resume):
+        load_checkpoint(args.resume, tracker)
+        start = tracker.frames[-1].frame_id + 1 if tracker.frames else 0
+        print(f"resumed from {args.resume} at frame {start}")
+
+    t0 = time.perf_counter()
+    for k in range(start, len(seq)):
+        res = tracker.process(seq.frame(k), k)
+        if k % 10 == 0:
+            el = time.perf_counter() - t0
+            fps = (k - start + 1) / el
+            print(f"frame {k}/{len(seq)} inliers={res.num_inliers} "
+                  f"kf={res.is_keyframe} {fps:.1f} fps", flush=True)
+        if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
+            save_checkpoint(args.checkpoint or "slam_ckpt.npz", tracker)
+    wall = time.perf_counter() - t0
+    est = tracker.trajectory()
+    out = args.out or "poses_est.txt"
+    save_kitti_poses(out, est)
+    print(f"{len(seq) - start} frames in {wall:.1f}s "
+          f"({(len(seq) - start) / wall:.2f} fps) -> {out}")
+    if info.gt_poses is not None:
+        gt = info.gt_poses[: len(est)]
+        ate = ate_rmse(centers_from_poses(est), centers_from_poses(gt))
+        t_rmse, r_rmse = rpe(est, gt)
+        print(f"ATE (Sim3-aligned): {ate:.4f} m | RPE: {t_rmse:.4f} m, "
+              f"{r_rmse:.4f} deg")
+        draw_trajectory(est, "trajectory.png", gt)
+        print("wrote trajectory.png")
+
+
+def cmd_eval(args) -> None:
+    from visualslam_tpu.io.serialization import load_kitti_poses
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses, rpe
+
+    est = load_kitti_poses(args.est)
+    gt = load_kitti_poses(args.gt)
+    n = min(len(est), len(gt))
+    ate = ate_rmse(centers_from_poses(est[:n]), centers_from_poses(gt[:n]))
+    t_rmse, r_rmse = rpe(est[:n], gt[:n])
+    print(json.dumps({"ate_m": ate, "rpe_trans_m": t_rmse,
+                      "rpe_rot_deg": r_rmse, "frames": n}))
+
+
+def cmd_benchmark(args) -> None:
+    from benchmarks.harness import run_benchmarks
+
+    run_benchmarks(full=args.full)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="visualslam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="detect+describe on one image")
+    d.add_argument("image")
+    d.add_argument("--frontend", default="sift",
+                   choices=["sift", "orb", "harris"])
+    d.add_argument("--out", default=None)
+    d.set_defaults(fn=cmd_detect)
+
+    r = sub.add_parser("run", help="run SLAM over a sequence")
+    r.add_argument("--kitti", default=None, help="KITTI odometry root")
+    r.add_argument("--seq", default="00")
+    r.add_argument("--synthetic", type=int, default=50,
+                   help="use N synthetic frames (when --kitti not given)")
+    r.add_argument("--frontend", default="sift",
+                   choices=["sift", "orb", "harris"])
+    r.add_argument("--out", default=None)
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--resume", default=None)
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("eval", help="ATE/RPE between two pose files")
+    e.add_argument("est")
+    e.add_argument("gt")
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("benchmark", help="run the benchmark harness")
+    b.add_argument("--full", action="store_true")
+    b.set_defaults(fn=cmd_benchmark)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

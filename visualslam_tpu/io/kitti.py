@@ -1,0 +1,157 @@
+"""KITTI-odometry-style dataset IO (SURVEY.md §2.3 "Dataset IO").
+
+Layout expected (standard KITTI odometry):
+    root/sequences/<seq>/image_0/*.png   grayscale frames
+    root/sequences/<seq>/calib.txt       P0..P3 projection matrices
+    root/sequences/<seq>/times.txt       per-frame timestamps
+    root/poses/<seq>.txt                 ground-truth 3x4 poses (optional)
+
+Also provides a synthetic sequence generator with the same interface so the
+full pipeline can run end-to-end (and be benchmarked) without the dataset on
+disk. Images load via PIL host-side; the C++ prefetcher (native/) can be
+swapped in for the decode path.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from visualslam_tpu.io.serialization import load_kitti_poses
+
+
+@dataclass
+class SequenceInfo:
+    name: str
+    num_frames: int
+    intrinsics: np.ndarray          # [4] fx, fy, cx, cy
+    image_size: tuple[int, int]     # (H, W)
+    gt_poses: Optional[np.ndarray]  # [F, 3, 4] camera-to-world or None
+    times: Optional[np.ndarray]
+
+
+class KittiOdometrySequence:
+    """Lazy frame loader for one KITTI odometry sequence."""
+
+    def __init__(self, root: str, seq: str, camera: int = 0):
+        self.root = root
+        self.seq = seq
+        self.dir = os.path.join(root, "sequences", seq)
+        self.img_dir = os.path.join(self.dir, f"image_{camera}")
+        self.files = sorted(
+            f for f in os.listdir(self.img_dir) if f.endswith(".png"))
+        P = self._read_calib()[camera]
+        self.intrinsics = np.array([P[0, 0], P[1, 1], P[0, 2], P[1, 2]],
+                                   np.float32)
+        pose_file = os.path.join(root, "poses", f"{seq}.txt")
+        self.gt_poses = (load_kitti_poses(pose_file)
+                         if os.path.exists(pose_file) else None)
+        times_file = os.path.join(self.dir, "times.txt")
+        self.times = (np.loadtxt(times_file)
+                      if os.path.exists(times_file) else None)
+        first = self.frame(0)
+        self.image_size = first.shape
+
+    def _read_calib(self) -> dict[int, np.ndarray]:
+        out = {}
+        with open(os.path.join(self.dir, "calib.txt")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                key, vals = line.split(":", 1)
+                if key.startswith("P"):
+                    out[int(key[1:])] = np.fromstring(
+                        vals, sep=" ").reshape(3, 4)
+        return out
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def frame(self, i: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.img_dir, self.files[i])).convert("L")
+        return np.asarray(img, np.float32) / 255.0
+
+    def frames(self) -> Iterator[np.ndarray]:
+        for i in range(len(self)):
+            yield self.frame(i)
+
+    def info(self) -> SequenceInfo:
+        return SequenceInfo(self.seq, len(self), self.intrinsics,
+                            self.image_size, self.gt_poses, self.times)
+
+
+class SyntheticSequence:
+    """Rendered synthetic sequence: textured random-dot world projected onto
+    a moving pinhole camera. Interface-compatible with
+    KittiOdometrySequence so the SLAM CLI/benchmarks run with no dataset.
+
+    The scene is a thick fronto-parallel 'wall' of Gaussian splats at varied
+    depths, giving real parallax and trackable texture."""
+
+    def __init__(self, num_frames: int = 50, h: int = 240, w: int = 376,
+                 n_dots: int = 1500, seed: int = 0, step: float = 0.4):
+        self.num_frames = num_frames
+        rng = np.random.default_rng(seed)
+        self.h, self.w = h, w
+        f = 0.6 * w
+        self.intrinsics = np.array([f, f, w / 2, h / 2], np.float32)
+        self.X = rng.uniform([-30, -15, 15], [30, 15, 60], (n_dots, 3))
+        self.amp = rng.uniform(0.3, 1.0, n_dots).astype(np.float32)
+        self.rad = rng.uniform(1.5, 4.0, n_dots).astype(np.float32)
+        self.step = step
+        self.gt_poses = np.stack([self._pose_cw(k)
+                                  for k in range(num_frames)])
+        self.times = np.arange(num_frames) * 0.1
+        self.image_size = (h, w)
+
+    def _pose_wc(self, k):
+        from visualslam_tpu.geometry import se3
+        import jax.numpy as jnp
+
+        w = np.array([0.0, 0.003 * k, 0.0])
+        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        center = np.array([0.02 * k, 0.0, self.step * k])
+        return R.astype(np.float64), (-R @ center).astype(np.float64)
+
+    def _pose_cw(self, k):
+        R, t = self._pose_wc(k)
+        return np.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def frame(self, k: int) -> np.ndarray:
+        R, t = self._pose_wc(k)
+        Xc = self.X @ R.T + t
+        z = Xc[:, 2]
+        vis = z > 1.0
+        fx, fy, cx, cy = self.intrinsics
+        u = fx * Xc[:, 0] / np.maximum(z, 1e-6) + cx
+        v = fy * Xc[:, 1] / np.maximum(z, 1e-6) + cy
+        img = np.full((self.h, self.w), 0.15, np.float32)
+        sel = vis & (u > -8) & (u < self.w + 8) & (v > -8) & (v < self.h + 8)
+        # splat Gaussians (vectorized over a small stencil)
+        yy, xx = np.mgrid[-5:6, -5:6]
+        for ui, vi, a, r, zi in zip(u[sel], v[sel], self.amp[sel],
+                                    self.rad[sel], z[sel]):
+            r_px = r * 20.0 / zi  # perspective-scaled radius
+            iu, iv = int(round(ui)), int(round(vi))
+            ys = np.clip(iv + yy, 0, self.h - 1)
+            xs = np.clip(iu + xx, 0, self.w - 1)
+            g = a * np.exp(-((yy + iv - vi) ** 2 + (xx + iu - ui) ** 2)
+                           / (2 * max(r_px, 0.8) ** 2))
+            np.maximum.at(img, (ys, xs), np.minimum(0.15 + g, 1.0))
+        return img
+
+    def frames(self) -> Iterator[np.ndarray]:
+        for i in range(len(self)):
+            yield self.frame(i)
+
+    def info(self) -> SequenceInfo:
+        return SequenceInfo("synthetic", self.num_frames, self.intrinsics,
+                            self.image_size, self.gt_poses, self.times)

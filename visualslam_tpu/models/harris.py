@@ -20,7 +20,7 @@ from visualslam_tpu.ops.gradients import central_diff
 from visualslam_tpu.ops.harris import harris_response
 from visualslam_tpu.ops.nms import window_peaks
 from visualslam_tpu.utils.config import HarrisConfig
-from visualslam_tpu.utils.masked import top_k_select
+from visualslam_tpu.utils.masked import block_top_k_select
 
 
 def detect_harris(img: jnp.ndarray, cfg: HarrisConfig) -> Keypoints:
@@ -36,7 +36,8 @@ def detect_harris(img: jnp.ndarray, cfg: HarrisConfig) -> Keypoints:
 
     flat_scores = resp.reshape(-1)
     flat_valid = peaks.reshape(-1)
-    idx, mask = top_k_select(flat_scores, flat_valid, cfg.max_keypoints)
+    idx, mask = block_top_k_select(flat_scores, flat_valid,
+                                   cfg.max_keypoints)
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
     yx = jnp.stack([ys, xs], axis=-1) * mask[:, None]

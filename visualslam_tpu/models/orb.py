@@ -31,7 +31,7 @@ from visualslam_tpu.ops.harris import harris_response
 from visualslam_tpu.ops.nms import window_peaks
 from visualslam_tpu.ops.patches import extract_patches, sample_bilinear
 from visualslam_tpu.utils.config import OrbConfig
-from visualslam_tpu.utils.masked import top_k_select
+from visualslam_tpu.utils.masked import block_top_k_select, top_k_select
 
 
 def brief_pattern(cfg: OrbConfig) -> np.ndarray:
@@ -65,7 +65,7 @@ def _detect_level(img: jnp.ndarray, cfg: OrbConfig, k: int):
     peaks = window_peaks(score, 3, -jnp.inf) & is_corner
 
     H, W = img.shape
-    idx, mask = top_k_select(score.reshape(-1), peaks.reshape(-1), k)
+    idx, mask = block_top_k_select(score.reshape(-1), peaks.reshape(-1), k)
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
     yx = jnp.stack([ys, xs], -1)

@@ -30,7 +30,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from visualslam_tpu.ops.blur import blur_stack
+from visualslam_tpu.ops.blur import blur_stack, incremental_blur_stack
 from visualslam_tpu.ops.gradients import gradients
 from visualslam_tpu.ops.resize import downsample2x_nearest, upsample2x_linear
 from visualslam_tpu.utils.config import PyramidConfig
@@ -59,6 +59,12 @@ class ScaleSpace(NamedTuple):
     def num_levels(self) -> int:
         return self.gauss[0].shape[0]
 
+    @property
+    def grad_level_offset(self) -> int:
+        """Gauss level of grad stack index 0: 0 when grad_levels="all",
+        1 when "interior" (grads cover levels 1..s only)."""
+        return 0 if self.grad_mag[0].shape[0] == self.gauss[0].shape[0] else 1
+
 
 def level_sigmas(cfg: PyramidConfig) -> Tuple[float, ...]:
     """Within-octave absolute sigmas (octave-base pixel units)."""
@@ -84,12 +90,22 @@ def build_pyramid(img: jnp.ndarray, cfg: PyramidConfig) -> ScaleSpace:
     sigmas = level_sigmas(cfg)
     s = cfg.scale_samples
 
+    if cfg.blur_mode == "pallas":
+        from visualslam_tpu.ops.pallas.blur import pallas_blur_stack
+
+        blur_fn = lambda b, s, truncate=4.0: pallas_blur_stack(  # noqa: E731
+            b, tuple(s), truncate)
+    elif cfg.blur_mode == "incremental":
+        blur_fn = incremental_blur_stack
+    else:
+        blur_fn = blur_stack
     gauss, dog, gx, gy, gm, go = [], [], [], [], [], []
     for _ in range(cfg.num_octaves):
-        stack = blur_stack(base, sigmas, truncate=cfg.truncate)   # [L, H, W]
+        stack = blur_fn(base, sigmas, truncate=cfg.truncate)      # [L, H, W]
         gauss.append(stack)
         dog.append(stack[1:] - stack[:-1])                        # [L-1, H, W]
-        dx, dy, mag, ori = gradients(stack)
+        grad_src = stack if cfg.grad_levels == "all" else stack[1:1 + s]
+        dx, dy, mag, ori = gradients(grad_src)
         gx.append(dx)
         gy.append(dy)
         gm.append(mag)

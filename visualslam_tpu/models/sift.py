@@ -65,8 +65,9 @@ def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
     win = cfg.orientation_window
     yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
 
-    mag = extract_patches(ss.grad_mag[octave], yx_int, win, level_idx=lvl)
-    ori = extract_patches(ss.grad_ori[octave], yx_int, win, level_idx=lvl)
+    glvl = lvl - ss.grad_level_offset
+    mag = extract_patches(ss.grad_mag[octave], yx_int, win, level_idx=glvl)
+    ori = extract_patches(ss.grad_ori[octave], yx_int, win, level_idx=glvl)
 
     # sigma of the (refined) level in octave-pixel units
     lvl_f = lvl.astype(jnp.float32) + offset[:, 0]
@@ -117,30 +118,39 @@ def describe_octave(ss: ScaleSpace, octave: int, kps: _OctaveKps,
     K = kps.valid.shape[0]
 
     coords = rotated_grid(kps.yx_oct, kps.orientation, win, step=1.0)
-    mag = sample_bilinear_stack(ss.grad_mag[octave], kps.level, coords)
-    ori = sample_bilinear_stack(ss.grad_ori[octave], kps.level, coords)
+    # one fused gather for both channels: stack (mag, ori) on a trailing axis
+    mag_ori = jnp.stack([ss.grad_mag[octave], ss.grad_ori[octave]], axis=-1)
+    glvl = kps.level - ss.grad_level_offset
+    both = sample_bilinear_stack(mag_ori, glvl, coords)          # [K,S,S,2]
+    mag = both[..., 0]
+    ori = both[..., 1]
     ori_rel = jnp.mod(ori - kps.orientation[:, None, None], 360.0)
 
-    # Static spatial structure of the 16x16 grid: subregion id + Gaussian
-    # weight (sigma = half window, SIFT paper; the reference instead blurs
-    # the magnitude ROI — documented delta).
+    # Static spatial structure: Gaussian weight (sigma = half window, SIFT
+    # paper; the reference instead blurs the magnitude ROI — documented
+    # delta). The region assignment is a static reshape: the 16x16 grid
+    # splits into width x width cells of cell x cell samples, so the
+    # histogram is built per-region with an 8-wide one-hot (16x less
+    # HBM traffic than a 128-wide one-hot over the full index).
     cell = win // width
-    ids = jnp.arange(win) // cell
-    region = (ids[:, None] * width + ids[None, :]).reshape(-1)   # [win*win]
-    w_spatial = gaussian_window(win, win / 2.0).reshape(-1)      # [win*win]
+    w_spatial = gaussian_window(win, win / 2.0)                  # [S, S]
 
-    wmag = (mag.reshape(K, -1)) * w_spatial[None, :]
-    pos = ori_rel.reshape(K, -1) * (nbins / 360.0)
+    def to_regions(a):   # [K, S, S] -> [K, regions, cell*cell]
+        a = a.reshape(K, width, cell, width, cell)
+        return a.transpose(0, 1, 3, 2, 4).reshape(K, width * width,
+                                                  cell * cell)
+
+    wmag = to_regions(mag * w_spatial[None])
+    pos = to_regions(ori_rel) * (nbins / 360.0)
     b0f = jnp.floor(pos - 0.5)
     frac = pos - 0.5 - b0f
     b0 = jnp.mod(b0f.astype(jnp.int32), nbins)
     b1 = jnp.mod(b0 + 1, nbins)
-    idx0 = region[None, :] * nbins + b0
-    idx1 = region[None, :] * nbins + b1
-    oh0 = jax.nn.one_hot(idx0, D, dtype=wmag.dtype)
-    oh1 = jax.nn.one_hot(idx1, D, dtype=wmag.dtype)
-    desc = (jnp.einsum("kp,kpd->kd", wmag * (1.0 - frac), oh0)
-            + jnp.einsum("kp,kpd->kd", wmag * frac, oh1))        # [K, 128]
+    oh0 = jax.nn.one_hot(b0, nbins, dtype=mag.dtype)   # [K, R, P, 8]
+    oh1 = jax.nn.one_hot(b1, nbins, dtype=mag.dtype)
+    hist = (jnp.einsum("krp,krpb->krb", wmag * (1.0 - frac), oh0)
+            + jnp.einsum("krp,krpb->krb", wmag * frac, oh1))     # [K, R, 8]
+    desc = hist.reshape(K, D)
 
     if cfg.descriptor_norm == "max":
         # reference behavior (quirk f): normalize by max, clamp, renormalize

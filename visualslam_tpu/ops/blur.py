@@ -72,6 +72,27 @@ def blur_stack(img: jnp.ndarray, sigmas: Sequence[float],
     return x[0]
 
 
+def incremental_blur_stack(img: jnp.ndarray, sigmas: Sequence[float],
+                           truncate: float = 4.0,
+                           mode: str = "symmetric") -> jnp.ndarray:
+    """Blur one image to S target sigmas by chaining incremental blurs.
+
+    Mathematically identical to blur_stack (Gaussians compose:
+    G_b = G_inc * G_a with inc = sqrt(b^2 - a^2)) but each chained conv has
+    a much smaller radius than the absolute-sigma kernels — ~2.4x fewer
+    taps/pixel for the SIFT schedule — at the cost of a sequential chain.
+    This is the production pyramid path; blur_stack remains the reference-
+    shaped one-shot form (GaussPyramid.cpp:166-185 blurs each level from
+    the octave base at absolute sigma).
+    """
+    sigmas = [float(s) for s in sigmas]
+    levels = [gaussian_blur(img, sigmas[0], truncate, mode)]
+    for prev, cur in zip(sigmas[:-1], sigmas[1:]):
+        inc = math.sqrt(max(cur * cur - prev * prev, 1e-12))
+        levels.append(gaussian_blur(levels[-1], inc, truncate, mode))
+    return jnp.stack(levels, axis=0)
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float, truncate: float = 4.0,
                   mode: str = "symmetric") -> jnp.ndarray:
     """Separable Gaussian blur of [..., H, W] with one sigma."""

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from visualslam_tpu.utils.config import SiftConfig
-from visualslam_tpu.utils.masked import top_k_select
+from visualslam_tpu.utils.masked import block_top_k_select
 
 
 def extrema_mask(dog: jnp.ndarray) -> jnp.ndarray:
@@ -144,7 +144,7 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig):
     # (standard SIFT practice; reference filters only after interpolation).
     mask &= score > 0.5 * cfg.contrast_threshold
 
-    idx, sel = top_k_select(score.reshape(-1), mask.reshape(-1), k)
+    idx, sel = block_top_k_select(score.reshape(-1), mask.reshape(-1), k)
     lvl = (idx // (H * W)).astype(jnp.int32)
     rem = idx % (H * W)
     y = (rem // W).astype(jnp.int32)

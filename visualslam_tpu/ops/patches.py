@@ -62,15 +62,18 @@ def sample_bilinear(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 def sample_bilinear_stack(stack: jnp.ndarray, level_idx: jnp.ndarray,
                           coords: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample stack[L, H, W] at per-item levels.
+    """Bilinear sample stack[L, H, W] or [L, H, W, C] at per-item levels.
 
     level_idx: [K] int32; coords: [K, ..., 2] float (y, x) within the level
-    image. One fused gather: the stack is viewed as a single [L*H, W] image
-    and y-coords are offset by level*H after clamping inside the level, so
-    interpolation never crosses level boundaries.
+    image. One fused gather: the stack is viewed as a single [L*H, W(, C)]
+    image and y-coords are offset by level*H after clamping inside the
+    level, so interpolation never crosses level boundaries. A trailing
+    channel axis C is gathered in the same indexing (amortizes gather cost
+    across channels). Returns [K, ...] or [K, ..., C].
     """
-    L, H, W = stack.shape
-    flat = stack.reshape(L * H, W)
+    L, H, W = stack.shape[:3]
+    channels = stack.ndim == 4
+    flat = stack.reshape((L * H, W) + stack.shape[3:])
     y = jnp.clip(coords[..., 0], 0.0, H - 1.0)
     x = jnp.clip(coords[..., 1], 0.0, W - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -85,6 +88,9 @@ def sample_bilinear_stack(stack: jnp.ndarray, level_idx: jnp.ndarray,
     v01 = flat[y0 + off, x1]
     v10 = flat[y1 + off, x0]
     v11 = flat[y1 + off, x1]
+    if channels:
+        wy = wy[..., None]
+        wx = wx[..., None]
     return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
             + wy * (1 - wx) * v10 + wy * wx * v11)
 

@@ -1,0 +1,94 @@
+"""Checkpoint / resume of the SLAM state (SURVEY.md §5: the reference only
+ever writes a descriptor dump with no loader; here the full map + tracker
+state round-trips, enabling mid-sequence resume and crash recovery).
+
+Format: a single .npz with every SlamMap array, per-keyframe feature blobs,
+and tracker scalars. Checkpoints are the recovery unit for multi-host runs
+(failure detection = collective timeout -> restart from last checkpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_checkpoint(path: str, tracker) -> None:
+    m = tracker.map
+    C = m.window
+    blobs = {}
+    for s in range(C):
+        if m.kf_desc[s] is not None:
+            blobs[f"kf_desc_{s}"] = np.asarray(m.kf_desc[s])
+            blobs[f"kf_yx_{s}"] = np.asarray(m.kf_yx[s])
+            blobs[f"kf_kp_valid_{s}"] = np.asarray(m.kf_kp_valid[s])
+        blobs[f"kf_kp_lm_{s}"] = m.kf_kp_lm[s]
+        if s in m.obs:
+            blobs[f"obs_lm_{s}"], blobs[f"obs_uv_{s}"] = m.obs[s]
+    frames = np.array(
+        [(f.frame_id, f.num_matches, f.num_inliers, int(f.is_keyframe),
+          int(f.tracking_ok)) for f in tracker.frames], np.int64)
+    frame_R = np.stack([f.R for f in tracker.frames]) if tracker.frames \
+        else np.zeros((0, 3, 3), np.float32)
+    frame_t = np.stack([f.t for f in tracker.frames]) if tracker.frames \
+        else np.zeros((0, 3), np.float32)
+    np.savez_compressed(
+        path,
+        kf_R=m.kf_R, kf_t=m.kf_t, kf_valid=m.kf_valid,
+        kf_frame_id=m.kf_frame_id, kf_order=np.asarray(m.kf_order, np.int64),
+        X=m.X, lm_valid=m.lm_valid, lm_obs_count=m.lm_obs_count,
+        lm_cursor=np.int64(m._lm_cursor),
+        frames=frames, frame_R=frame_R, frame_t=frame_t,
+        last_R=tracker._last_R, last_t=tracker._last_t, vel=tracker._vel,
+        frames_since_kf=np.int64(tracker._frames_since_kf),
+        **blobs,
+    )
+
+
+def load_checkpoint(path: str, tracker) -> None:
+    """Restore state saved by save_checkpoint into a freshly constructed
+    Tracker (same config)."""
+    import jax.numpy as jnp
+
+    from visualslam_tpu.slam.tracker import FrameResult
+
+    z = np.load(path, allow_pickle=False)
+    m = tracker.map
+    m.kf_R = z["kf_R"].copy()
+    m.kf_t = z["kf_t"].copy()
+    m.kf_valid = z["kf_valid"].copy()
+    m.kf_frame_id = z["kf_frame_id"].copy()
+    m.kf_order = [int(s) for s in z["kf_order"]]
+    m.X = z["X"].copy()
+    m.lm_valid = z["lm_valid"].copy()
+    m.lm_obs_count = z["lm_obs_count"].copy()
+    m._lm_cursor = int(z["lm_cursor"])
+    for s in range(m.window):
+        m.kf_kp_lm[s] = z[f"kf_kp_lm_{s}"].copy()
+        if f"kf_desc_{s}" in z:
+            m.kf_desc[s] = jnp.asarray(z[f"kf_desc_{s}"])
+            m.kf_yx[s] = z[f"kf_yx_{s}"].copy()
+            m.kf_kp_valid[s] = z[f"kf_kp_valid_{s}"].copy()
+        if f"obs_lm_{s}" in z:
+            m.obs[s] = (z[f"obs_lm_{s}"].copy(), z[f"obs_uv_{s}"].copy())
+    tracker.frames = [
+        FrameResult(frame_id=int(fid), R=R, t=t, num_matches=int(nm),
+                    num_inliers=int(ni), is_keyframe=bool(kf),
+                    tracking_ok=bool(ok))
+        for (fid, nm, ni, kf, ok), R, t in zip(
+            z["frames"], z["frame_R"], z["frame_t"])
+    ]
+    tracker._last_R = z["last_R"].copy()
+    tracker._last_t = z["last_t"].copy()
+    tracker._vel = z["vel"].copy()
+    tracker._frames_since_kf = int(z["frames_since_kf"])
+    # rebuild the jax-side previous-feature cache from the last keyframe
+    if m.kf_order:
+        s = m.kf_order[-1]
+        if m.kf_desc[s] is not None:
+            from visualslam_tpu.models.types import Features, Keypoints
+
+            k = m.kf_desc[s].shape[0]
+            kps = Keypoints.empty(k)._replace(
+                yx=jnp.asarray(m.kf_yx[s]),
+                valid=jnp.asarray(m.kf_kp_valid[s]))
+            tracker._prev_feats = Features(kps, jnp.asarray(m.kf_desc[s]))

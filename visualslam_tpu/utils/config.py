@@ -67,6 +67,16 @@ class PyramidConfig(_Base):
     assumed_blur: float = 0.0           # blur already present in the input image
     truncate: float = 4.0               # Gaussian kernel radius = ceil(truncate*sigma)
     dtype: str = "float32"
+    # "all": gradient products for every level (reference behavior,
+    # GaussPyramid.cpp:65-104); "interior": only levels 1..s (the only ones
+    # the SIFT pipeline reads) — ~2x less gradient work.
+    grad_levels: str = "interior"
+    # "absolute": blur every level from the octave base at absolute sigma
+    # (the reference's shape, GaussPyramid.cpp:166-185) as one channelized
+    # conv pair; "incremental": chain small-kernel blurs (fewer taps but a
+    # sequential dependency chain — measured SLOWER on TPU); "pallas":
+    # the fused Pallas multi-sigma kernel (fastest). Same math.
+    blur_mode: str = "absolute"  # -> "pallas" once the axon VMEM-placement quirk is resolved
 
     @property
     def levels_per_octave(self) -> int:

@@ -22,22 +22,70 @@ import jax.numpy as jnp
 NEG_INF = -jnp.inf
 
 
-def top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
+def top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
+                 approx: bool = False):
     """Select top-k entries of a flat score vector restricted to `valid`.
 
     Returns (indices[k], mask[k]) where mask marks selections that were
     actually valid (if fewer than k valid entries exist, the tail is masked
     out and indices there are arbitrary but in-range).
+
+    approx=True uses jax.lax.approx_max_k — the TPU-native partial-reduce
+    top-k (recall ~0.95), far faster than exact top_k on multi-million-
+    element score maps. Use it where candidates are then re-filtered anyway
+    (e.g. extrema selection; exact on CPU regardless).
     """
     n = scores.shape[0]
+    # exact top_k needs finite scores; approx_max_k handles -inf fine, but
+    # use a large negative sentinel so masked slots never win either way
     scores = jnp.where(valid, scores, NEG_INF)
     kk = min(k, n)
-    top_scores, idx = jax.lax.top_k(scores, kk)
+    if approx:
+        top_scores, idx = jax.lax.approx_max_k(scores, kk,
+                                               recall_target=0.95)
+    else:
+        top_scores, idx = jax.lax.top_k(scores, kk)
     if kk < k:  # capacity exceeds population: pad with masked slots
         idx = jnp.concatenate([idx, jnp.zeros((k - kk,), idx.dtype)])
         top_scores = jnp.concatenate(
             [top_scores, jnp.full((k - kk,), NEG_INF, top_scores.dtype)])
     mask = top_scores > NEG_INF
+    return idx, mask
+
+
+def block_top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
+                       block: int = 128):
+    """Two-stage top-k for multi-million-element score maps.
+
+    XLA's exact TopK lowers to a full sort (O(N log N) — ~50 ms on a 3M
+    score map), so dense detectors use this instead: stage 1 reduces each
+    `block` consecutive scores to their max+argmax (one fast VPU pass);
+    stage 2 runs exact top-k over the N/block block winners.
+
+    Semantics delta vs exact top-k: at most ONE candidate per block (a run
+    of `block` flat-index-consecutive pixels). For detection score maps this
+    acts as an extra 1-D NMS that improves spatial spread; true extrema are
+    sparse, so collisions are rare. Returns (indices[k], mask[k]).
+    """
+    n = scores.shape[0]
+    if n <= 4 * block:
+        return top_k_select(scores, valid, k)
+    pad = (-n) % block
+    s = jnp.where(valid, scores, NEG_INF)
+    if pad:
+        s = jnp.concatenate([s, jnp.full((pad,), NEG_INF, s.dtype)])
+    nb = s.shape[0] // block
+    sb = s.reshape(nb, block)
+    bmax = jnp.max(sb, axis=1)
+    barg = jnp.argmax(sb, axis=1)
+    kk = min(k, nb)
+    top, bidx = jax.lax.top_k(bmax, kk)
+    idx = bidx * block + barg[bidx]
+    if kk < k:
+        idx = jnp.concatenate([idx, jnp.zeros((k - kk,), idx.dtype)])
+        top = jnp.concatenate([top, jnp.full((k - kk,), NEG_INF, top.dtype)])
+    mask = top > NEG_INF
+    idx = jnp.minimum(idx, n - 1)
     return idx, mask
 
 
