@@ -5,20 +5,25 @@ poor for this shape (C_in=1, tiny channel counts — nothing for the MXU to
 chew on, ~43 ms/frame at KITTI size), so this kernel runs the separable
 convolution directly on the VPU with explicit VMEM tiling.
 
-Single fused kernel, grid (S, H/TILE_H): each program
-  1. DMAs an overlapping [TILE_H + 2R, Wp] row slab of the pre-padded image
-     from HBM into VMEM (overlap is why this is a manual async copy rather
-     than a BlockSpec: blocks would have to overlap by 2R rows);
-  2. runs the K-tap vertical conv for its sigma as K shifted-slab FMAs
-     (static unroll, VPU);
-  3. runs the K-tap horizontal conv as K lane-shifted FMAs;
-  4. writes its [TILE_H, Wo] output tile.
+Hardware constraint that shapes the design: K-tap accumulations of LANE-
+shifted slices (x-axis conv) make Mosaic materialize a shifted copy per tap
+(~43 x 1.4 MB = 50+ MB scoped VMEM -> compile-time OOM), while SUBLANE-
+shifted slices (y-axis conv) are cheap. So the conv runs as TWO sublane-conv
+passes with XLA transposes in between (TPU transposes are fast):
 
-No [S, H, W]-sized intermediate ever exists (the two-pallas-call version
-OOM'd scoped VMEM when XLA stack-allocated the inter-pass buffer). Taps sit
-in a small [S, K] VMEM array indexed by the sigma grid axis. Border
-handling: symmetric pre-pad, identical to ops/blur.blur_stack — results
-match the XLA path to float32 tolerance (tests/test_pallas.py).
+  pass V: grid (S, H/TILE). Each program DMAs an overlapping [SLAB_H, Wp]
+          row slab of the pre-padded image from HBM (overlap is why this is
+          a manual async copy: BlockSpec blocks cannot overlap by 2R rows)
+          and runs the K-tap y-conv for its sigma via a fori_loop of
+          dynamically offset sublane slices.
+  XLA:    transpose [S, Hp, Wp] -> [S, Wp, Hp]
+  pass H: same kernel shape on the transposed stack — the original x axis
+          is now sublanes.
+  XLA:    transpose back, crop to [S, H, W].
+
+Taps sit in a small [S, K] VMEM array indexed by the sigma grid axis.
+Border handling: symmetric pre-pad, identical to ops/blur.blur_stack —
+results match the XLA path to float32 tolerance (tests/test_pallas.py).
 
 Replaces the reference's per-level cv::GaussianBlur (GaussPyramid.cpp:
 166-185) — SURVEY.md §2.1 lists per-level blur among the hot loops that
@@ -45,22 +50,65 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _fused_kernel(taps_ref, in_hbm, out_ref, slab, sem_in, *,
-                  K: int, TILE_H: int, SLAB_H: int, Wp: int, Wo: int):
-    i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * TILE_H, SLAB_H), :], slab, sem_in)
-    copy.start()
-    copy.wait()
-    # vertical K-tap conv -> [TILE_H, Wp]
-    v = taps_ref[0, 0] * slab[0:TILE_H, :]
-    for k in range(1, K):
-        v += taps_ref[0, k] * slab[k:k + TILE_H, :]
-    # horizontal K-tap conv -> [TILE_H, Wo]
-    h = taps_ref[0, 0] * v[:, 0:Wo]
-    for k in range(1, K):
-        h += taps_ref[0, k] * v[:, k:k + Wo]
-    out_ref[:] = h
+def _vconv_2d_kernel(taps_ref, in_hbm, out_ref, slab, sem, *,
+                     K: int, TILE: int, SLAB: int):
+    """y-conv of a 2-D image shared across the sigma grid axis."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(in_hbm.at[pl.ds(i * TILE, SLAB), :], slab, sem)
+    cp.start()
+    cp.wait()
+
+    def body(k, acc):
+        return acc + taps_ref[s, k] * slab[pl.ds(k, TILE), :]
+
+    acc0 = taps_ref[s, 0] * slab[pl.ds(0, TILE), :]
+    out_ref[0] = jax.lax.fori_loop(1, K, body, acc0)
+
+
+def _vconv_3d_kernel(taps_ref, in_hbm, out_ref, slab, sem, *,
+                     K: int, TILE: int, SLAB: int):
+    """y-conv of a per-sigma 3-D stack (pass H operates on the transpose)."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        in_hbm.at[s, pl.ds(i * TILE, SLAB), :], slab, sem)
+    cp.start()
+    cp.wait()
+
+    def body(k, acc):
+        return acc + taps_ref[s, k] * slab[pl.ds(k, TILE), :]
+
+    acc0 = taps_ref[s, 0] * slab[pl.ds(0, TILE), :]
+    out_ref[0] = jax.lax.fori_loop(1, K, body, acc0)
+
+
+def _conv_pass(x, taps, kernel, S, rows_out, lanes, K, TILE):
+    """Run one sublane-conv pass. x: [rows_in(+pad), lanes] or
+    [S, rows_in(+pad), lanes]; output [S, rows_out_padded, lanes]."""
+    Rp = _round_up(rows_out, TILE)
+    n = Rp // TILE
+    SLAB = _round_up(TILE + K - 1, 8)
+    rows_needed = (n - 1) * TILE + SLAB
+    pad_rows = rows_needed - x.shape[-2]
+    if pad_rows > 0:
+        cfg = [(0, 0)] * (x.ndim - 2) + [(0, pad_rows), (0, 0)]
+        x = jnp.pad(x, cfg)
+    return pl.pallas_call(
+        functools.partial(kernel, K=K, TILE=TILE, SLAB=SLAB),
+        grid=(S, n),
+        in_specs=[
+            pl.BlockSpec((S, K), lambda s, i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # HBM; DMA'd slabs
+        ],
+        out_specs=pl.BlockSpec((1, TILE, lanes), lambda s, i: (s, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, Rp, lanes), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((SLAB, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(taps, x)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -82,44 +130,22 @@ def pallas_blur_stack(img: jnp.ndarray, sigmas: tuple, truncate: float = 4.0
         taps_np[i, radius - r: radius + r + 1] = t
     taps = jnp.asarray(taps_np)
 
-    TILE_H = 128
-    Wo = _round_up(W, 128)
-    Wp = _round_up(Wo + 2 * radius, 128)
-    Hp = _round_up(H, TILE_H)
-    nh = Hp // TILE_H
-    # DMA slab rows must be sublane-aligned (Mosaic: multiples of 8)
-    SLAB_H = _round_up(TILE_H + K - 1, 8)
-
-    # symmetric pre-pad; extend so every DMA slab (SLAB_H rows from any tile
-    # start) and every lane shift stays in bounds (extra area is zeros,
-    # never read back)
+    TILE = 128
+    # symmetric pre-pad both axes; lane axes rounded up to 128
+    Wp = _round_up(W + 2 * radius, 128)
     padded = jnp.pad(img, ((radius, radius), (radius, radius)),
                      mode="symmetric")
-    rows_needed = max(H + 2 * radius, (nh - 1) * TILE_H + SLAB_H)
-    padded = jnp.pad(padded,
-                     ((0, rows_needed - (H + 2 * radius)),
-                      (0, Wp - (W + 2 * radius))))
+    padded = jnp.pad(padded, ((0, 0), (0, Wp - (W + 2 * radius))))
 
-    # One pallas_call PER SIGMA: the axon AOT pipeline stack-allocates every
-    # pallas result in scoped VMEM (16 MB limit) no matter what memory-space
-    # annotation/aliasing we request, so the result must be kept small; a
-    # per-sigma [Hp, Wo] tile (<8 MB at KITTI size) fits, the fused
-    # [S, Hp, Wo] one does not. The S calls pipeline back-to-back.
-    call = pl.pallas_call(
-        functools.partial(_fused_kernel, K=K, TILE_H=TILE_H, SLAB_H=SLAB_H,
-                          Wp=Wp, Wo=Wo),
-        grid=(nh,),
-        in_specs=[
-            pl.BlockSpec((1, K), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM, DMA'd
-        ],
-        out_specs=pl.BlockSpec((TILE_H, Wo), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wo), img.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((SLAB_H, Wp), img.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=_interpret(),
-    )
-    levels = [call(taps[s:s + 1], padded) for s in range(S)]
-    return jnp.stack(levels)[:, :H, :W]
+    # pass V: y-conv -> [S, Hp, Wp]
+    v = _conv_pass(padded, taps, _vconv_2d_kernel, S, H, Wp, K, TILE)
+    v = v[:, :H, :]
+
+    # pass H: x-conv as a sublane conv on the transpose
+    Hp_l = _round_up(H, 128)
+    vt = jnp.swapaxes(v, 1, 2)                        # [S, Wp, H]
+    if Hp_l != H:
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Hp_l - H)))
+    h = _conv_pass(vt, taps, _vconv_3d_kernel, S, W, Hp_l, K, TILE)
+    out = jnp.swapaxes(h[:, :W, :], 1, 2)             # [S, H?, W]
+    return out[:, :H, :W]

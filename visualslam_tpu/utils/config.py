@@ -219,3 +219,11 @@ class SlamConfig(_Base):
 
 
 DEFAULT_CONFIG = SlamConfig()
+
+# Production / throughput profile: no initial 2x upsample (4x less pyramid +
+# detection work; the upsample exists for small-image SIFT parity — KITTI
+# frames have plenty of resolution without it). Reference-parity behavior
+# stays on DEFAULT_CONFIG.
+FAST_CONFIG = SlamConfig(
+    pyramid=PyramidConfig(initial_upsample=False, num_octaves=3),
+)
