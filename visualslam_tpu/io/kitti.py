@@ -71,12 +71,29 @@ class KittiOdometrySequence:
         return len(self.files)
 
     def frame(self, i: int) -> np.ndarray:
+        path = os.path.join(self.img_dir, self.files[i])
+        from visualslam_tpu.io import native
+
+        if native.available():
+            return native.decode_gray(path)
         from PIL import Image
 
-        img = Image.open(os.path.join(self.img_dir, self.files[i])).convert("L")
+        img = Image.open(path).convert("L")
         return np.asarray(img, np.float32) / 255.0
 
     def frames(self) -> Iterator[np.ndarray]:
+        """Iterate frames; uses the native multithreaded prefetcher (decode
+        runs ahead of the SLAM loop) when the C++ runtime is built."""
+        from visualslam_tpu.io import native
+
+        if native.available():
+            paths = [os.path.join(self.img_dir, f) for f in self.files]
+            pf = native.Prefetcher(paths, capacity=8, n_threads=4)
+            try:
+                yield from pf
+            finally:
+                pf.close()
+            return
         for i in range(len(self)):
             yield self.frame(i)
 

@@ -54,7 +54,7 @@ def top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
 
 
 def block_top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
-                       block: int = 128):
+                       block: int | None = None):
     """Two-stage top-k for multi-million-element score maps.
 
     XLA's exact TopK lowers to a full sort (O(N log N) — ~50 ms on a 3M
@@ -68,7 +68,13 @@ def block_top_k_select(scores: jnp.ndarray, valid: jnp.ndarray, k: int,
     sparse, so collisions are rare. Returns (indices[k], mask[k]).
     """
     n = scores.shape[0]
-    if n <= 4 * block:
+    if block is None:
+        # adaptive: keep >= ~16k blocks so dense detections don't collide
+        # (a block admits at most one candidate)
+        block = 1
+        while block * 2 <= n // (16 * k):
+            block *= 2
+    if block < 8 or n <= 4 * block:
         return top_k_select(scores, valid, k)
     pad = (-n) % block
     s = jnp.where(valid, scores, NEG_INF)
