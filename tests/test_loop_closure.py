@@ -1,0 +1,138 @@
+"""Loop-closure tests: out-and-back synthetic trajectory with odometry
+noise; the loop must be detected, verified (PnP), and the pose graph must
+pull the revisit back toward the start."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from visualslam_tpu.models.types import Features, Keypoints
+from visualslam_tpu.slam.tracker import Tracker
+from visualslam_tpu.utils.config import DEFAULT_CONFIG
+
+INTR = np.array([500.0, 500.0, 320.0, 240.0], np.float32)
+W, H = 640, 480
+
+CFG = DEFAULT_CONFIG.replace(
+    keyframe_min_inliers=40,
+    keyframe_max_gap=3,
+    match=DEFAULT_CONFIG.match.replace(max_matches=512, ratio=0.9),
+    ransac=DEFAULT_CONFIG.ransac.replace(num_hypotheses=256,
+                                         inlier_threshold=5e-5),
+    ba=DEFAULT_CONFIG.ba.replace(max_cameras=5, max_landmarks=2048,
+                                 max_observations=8192, iters=5),
+    loop=DEFAULT_CONFIG.loop.replace(exclude_recent=4, min_inliers=20,
+                                     cosine_threshold=0.7),
+)
+
+
+class OutAndBackScene:
+    """Camera drives forward then returns along the same line, seeing the
+    same wall of points — the return leg closes loops against the start."""
+
+    def __init__(self, rng, n_points=800, cap=1024, n_frames=28):
+        self.rng = rng
+        self.cap = cap
+        self.n_frames = n_frames
+        self.X = rng.uniform([-15, -8, 10], [15, 8, 45], (n_points, 3))
+        self.desc = rng.standard_normal((n_points, 64)).astype(np.float32)
+        self.desc /= np.linalg.norm(self.desc, axis=1, keepdims=True)
+
+    def pose(self, k):
+        half = self.n_frames // 2
+        z = 0.5 * k if k <= half else 0.5 * (2 * half - k)
+        center = np.array([0.0, 0.0, z])
+        R = np.eye(3, dtype=np.float32)
+        return R, (-R @ center).astype(np.float32)
+
+    def features(self, k, pix_noise=0.4):
+        R, t = self.pose(k)
+        Xc = self.X @ R.T + t
+        z = Xc[:, 2]
+        uv = Xc[:, :2] / np.maximum(z[:, None], 1e-6)
+        px = uv * INTR[:2] + INTR[2:]
+        vis = (z > 1.0) & (px[:, 0] >= 5) & (px[:, 0] < W - 5) \
+            & (px[:, 1] >= 5) & (px[:, 1] < H - 5)
+        idx = np.nonzero(vis)[0][: self.cap]
+        n = len(idx)
+        yx = np.zeros((self.cap, 2), np.float32)
+        yx[:n] = (px[idx] + self.rng.normal(0, pix_noise, (n, 2)))[:, ::-1]
+        desc = np.zeros((self.cap, 64), np.float32)
+        desc[:n] = self.desc[idx]
+        valid = np.zeros(self.cap, bool)
+        valid[:n] = True
+        resp = np.zeros(self.cap, np.float32)
+        resp[:n] = 1.0
+        kps = Keypoints.empty(self.cap)._replace(
+            yx=jnp.asarray(yx), valid=jnp.asarray(valid),
+            response=jnp.asarray(resp))
+        return Features(kps, jnp.asarray(desc)), (R, t)
+
+
+def test_loop_detected_and_corrects(rng):
+    scene = OutAndBackScene(rng)
+    tracker = Tracker(CFG, INTR)
+    gt_centers = []
+    for k in range(scene.n_frames):
+        feats, (R, t) = scene.features(k)
+        tracker.process_features(feats, k)
+        gt_centers.append(-R.T @ t)
+    assert tracker.num_loop_closures >= 1, "no loop closure detected"
+    lc = tracker.loop_closer
+    assert lc.corrected is not None
+    # the final keyframe revisits near the start: its corrected center must
+    # be close to its ground-truth center (scale is fixed by init depth, so
+    # compare up to the map/GT scale ratio estimated from the outbound leg)
+    centers = lc.optimize()
+    kf_frames = [e.frame_id for e in lc.entries]
+    gt_kf = np.stack([gt_centers[f] for f in kf_frames])
+    # estimate scale on the first half (pre-loop)
+    half = len(centers) // 2
+    s = (np.linalg.norm(gt_kf[:half], axis=1).sum()
+         / max(np.linalg.norm(centers[:half], axis=1).sum(), 1e-9))
+    err_end = np.linalg.norm(centers[-1] * s - gt_kf[-1])
+    assert err_end < 1.5, f"loop-corrected end error {err_end:.2f}m"
+
+
+def test_retrieval_gate_rejects_unrelated_scenes(rng):
+    """Keyframes seeing disjoint landmark sets must not pass the
+    global-descriptor gate (no loop candidates)."""
+    from visualslam_tpu.slam.loop_closure import LoopCloser
+
+    lc = LoopCloser(INTR, CFG.match, CFG.pose_graph, sub_keypoints=64,
+                    cosine_threshold=0.7, exclude_recent=2)
+    cap = 128
+    for k in range(8):
+        desc = rng.standard_normal((cap, 64)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        kps = Keypoints.empty(cap)._replace(
+            yx=jnp.asarray(rng.uniform(0, 400, (cap, 2)).astype(np.float32)),
+            valid=jnp.ones(cap, bool),
+            response=jnp.ones(cap, jnp.float32))
+        feats = Features(kps, jnp.asarray(desc))
+        idx = lc.add_keyframe(k, np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), feats,
+                              np.full(cap, -1), np.zeros((1, 3), np.float32))
+        assert lc.detect(idx) is None
+    assert not lc.loop_edges
+
+
+def test_verification_rejects_without_landmarks(rng):
+    """Even with identical appearance, verification needs 3D landmark
+    support — keyframes with no associations cannot produce a loop edge."""
+    from visualslam_tpu.slam.loop_closure import LoopCloser
+
+    lc = LoopCloser(INTR, CFG.match, CFG.pose_graph, sub_keypoints=64,
+                    cosine_threshold=0.5, exclude_recent=1, min_inliers=10)
+    cap = 128
+    desc = rng.standard_normal((cap, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    kps = Keypoints.empty(cap)._replace(
+        yx=jnp.asarray(rng.uniform(0, 400, (cap, 2)).astype(np.float32)),
+        valid=jnp.ones(cap, bool), response=jnp.ones(cap, jnp.float32))
+    feats = Features(kps, jnp.asarray(desc))
+    for k in range(4):  # same appearance every time, but kp_lm all -1
+        idx = lc.add_keyframe(k, np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), feats,
+                              np.full(cap, -1), np.zeros((1, 3), np.float32))
+        assert lc.detect(idx) is None

@@ -52,13 +52,26 @@ class Tracker:
     """Monocular tracker with sliding-window BA."""
 
     def __init__(self, cfg: SlamConfig, intrinsics, init_depth: float = 20.0,
-                 run_ba: bool = True):
+                 run_ba: bool = True, loop_closure: bool | None = None):
         from visualslam_tpu.slam.map_state import SlamMap
 
         self.cfg = cfg
         self.intr = jnp.asarray(intrinsics, jnp.float32)
         self.init_depth = init_depth
         self.run_ba = run_ba
+        if loop_closure is None:
+            loop_closure = cfg.loop.enabled
+        self.loop_closer = None
+        if loop_closure:
+            from visualslam_tpu.slam.loop_closure import LoopCloser
+
+            self.loop_closer = LoopCloser(
+                intrinsics, cfg.match, cfg.pose_graph,
+                sub_keypoints=cfg.loop.sub_keypoints,
+                cosine_threshold=cfg.loop.cosine_threshold,
+                min_inliers=cfg.loop.min_inliers,
+                exclude_recent=cfg.loop.exclude_recent)
+        self.num_loop_closures = 0
         feat_cap = (cfg.sift.max_keypoints if cfg.frontend == "sift"
                     else cfg.orb.max_keypoints)
         self.map = SlamMap(cfg.ba.max_cameras, cfg.ba.max_landmarks, feat_cap)
@@ -162,6 +175,13 @@ class Tracker:
         self.map.add_observations(slot, lm_idx, uv2_in)
         self.map.kf_kp_lm[slot][idx_b] = lm_idx
         self._run_window_ba()
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(
+                self.map.kf_frame_id[kf], self.map.kf_R[kf],
+                self.map.kf_t[kf], prev, self.map.kf_kp_lm[kf], self.map.X)
+            self.loop_closer.add_keyframe(
+                frame_id, self.map.kf_R[slot], self.map.kf_t[slot], feats,
+                self.map.kf_kp_lm[slot], self.map.X)
         return self._store_result(frame_id, self.map.kf_R[slot],
                                   self.map.kf_t[slot],
                                   num_matches=int(m.count()), num_inliers=n,
@@ -279,6 +299,52 @@ class Tracker:
         # refresh cached current pose from (possibly) adjusted keyframe
         self._last_R = self.map.kf_R[slot].copy()
         self._last_t = self.map.kf_t[slot].copy()
+
+        # 4. loop closure
+        if self.loop_closer is not None:
+            idx = self.loop_closer.add_keyframe(
+                frame_id, self.map.kf_R[slot], self.map.kf_t[slot], feats,
+                self.map.kf_kp_lm[slot], self.map.X)
+            edge = self.loop_closer.detect(idx)
+            if edge is not None:
+                self.num_loop_closures += 1
+                self.loop_closer.optimize()
+                self._apply_loop_correction(slot, idx)
+
+    def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
+        """Rigidly move the active window (poses + landmarks) so the latest
+        keyframe matches its pose-graph-corrected pose.
+
+        World transform G = T_corr^-1 . T_old applied to landmarks
+        (X' = G X); window poses become T . G^-1, which maps the last
+        keyframe exactly onto T_corr."""
+        lc = self.loop_closer
+        if lc.corrected is None:
+            return
+        R_old = self.map.kf_R[slot].copy()
+        t_old = self.map.kf_t[slot].copy()
+        R_new, t_new = lc.corrected[db_idx]
+        Rci, tci = se3.inverse(jnp.asarray(R_new), jnp.asarray(t_new))
+        Rg, tg = se3.compose(Rci, tci, jnp.asarray(R_old), jnp.asarray(t_old))
+        Rg = np.asarray(Rg)
+        tg = np.asarray(tg)
+        Rgi, tgi = se3.inverse(jnp.asarray(Rg), jnp.asarray(tg))
+        Rgi = np.asarray(Rgi)
+        tgi = np.asarray(tgi)
+        # landmarks: X' = G X
+        live = self.map.lm_valid
+        self.map.X[live] = self.map.X[live] @ Rg.T + tg
+        # window poses: T' = T . G^-1
+        for s in self.map.kf_order:
+            R_k = self.map.kf_R[s]
+            t_k = self.map.kf_t[s]
+            self.map.kf_R[s] = R_k @ Rgi
+            self.map.kf_t[s] = R_k @ tgi + t_k
+        self._last_R = self.map.kf_R[slot].copy()
+        self._last_t = self.map.kf_t[slot].copy()
+        # keep the database's stored pose for this keyframe in sync
+        lc.entries[db_idx].R = self._last_R.copy()
+        lc.entries[db_idx].t = self._last_t.copy()
 
     # ------------------------------------------------------------------
 

@@ -196,6 +196,17 @@ class PoseGraphConfig(_Base):
 
 
 @dataclass(frozen=True)
+class LoopConfig(_Base):
+    """Loop-closure detection (slam/loop_closure.py)."""
+
+    enabled: bool = True
+    sub_keypoints: int = 256            # local descriptors kept per keyframe
+    cosine_threshold: float = 0.85      # global-descriptor retrieval gate
+    min_inliers: int = 25               # PnP inliers to accept a loop
+    exclude_recent: int = 10            # temporal exclusion window (keyframes)
+
+
+@dataclass(frozen=True)
 class SlamConfig(_Base):
     """Top-level engine config: composes every subsystem."""
 
@@ -207,6 +218,7 @@ class SlamConfig(_Base):
     ransac: RansacConfig = field(default_factory=RansacConfig)
     ba: BAConfig = field(default_factory=BAConfig)
     pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
     frontend: str = "sift"              # "sift" | "orb" | "harris"
     keyframe_min_inliers: int = 40
     keyframe_max_gap: int = 5
