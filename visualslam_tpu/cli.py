@@ -57,11 +57,12 @@ def cmd_run(args) -> None:
     from visualslam_tpu.io.serialization import save_kitti_poses
     from visualslam_tpu.slam.tracker import Tracker
     from visualslam_tpu.slam.viz import draw_trajectory
-    from visualslam_tpu.utils.config import DEFAULT_CONFIG
+    from visualslam_tpu.utils.config import DEFAULT_CONFIG, FAST_CONFIG
 
     seq = _make_sequence(args)
     info = seq.info()
-    cfg = DEFAULT_CONFIG.replace(frontend=args.frontend)
+    base = FAST_CONFIG if args.profile == "fast" else DEFAULT_CONFIG
+    cfg = base.replace(frontend=args.frontend)
     tracker = Tracker(cfg, info.intrinsics)
     start = 0
     if args.resume and os.path.exists(args.resume):
@@ -69,20 +70,33 @@ def cmd_run(args) -> None:
         start = tracker.frames[-1].frame_id + 1 if tracker.frames else 0
         print(f"resumed from {args.resume} at frame {start}")
 
+    ckpt_path = args.checkpoint or "slam_ckpt.npz"
     t0 = time.perf_counter()
     for k in range(start, len(seq)):
-        res = tracker.process(seq.frame(k), k)
+        try:
+            res = tracker.process(seq.frame(k), k)
+        except Exception as e:  # failure detection: save state, surface it
+            save_checkpoint(ckpt_path, tracker)
+            print(f"frame {k}: FAILED ({type(e).__name__}: {e}); emergency "
+                  f"checkpoint -> {ckpt_path}", flush=True)
+            raise
         if k % 10 == 0:
             el = time.perf_counter() - t0
             fps = (k - start + 1) / el
             print(f"frame {k}/{len(seq)} inliers={res.num_inliers} "
-                  f"kf={res.is_keyframe} {fps:.1f} fps", flush=True)
+                  f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
+                  f"{fps:.1f} fps", flush=True)
         if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
-            save_checkpoint(args.checkpoint or "slam_ckpt.npz", tracker)
+            save_checkpoint(ckpt_path, tracker)
     wall = time.perf_counter() - t0
     est = tracker.trajectory()
     out = args.out or "poses_est.txt"
     save_kitti_poses(out, est)
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            for row in tracker.metrics():
+                f.write(json.dumps(row) + "\n")
+        print(f"wrote {args.metrics}")
     print(f"{len(seq) - start} frames in {wall:.1f}s "
           f"({(len(seq) - start) / wall:.2f} fps) -> {out}")
     if info.gt_poses is not None:
@@ -132,10 +146,16 @@ def main(argv=None) -> None:
                    help="use N synthetic frames (when --kitti not given)")
     r.add_argument("--frontend", default="sift",
                    choices=["sift", "orb", "harris"])
+    r.add_argument("--profile", default="fast",
+                   choices=["fast", "reference"],
+                   help="fast: production throughput profile; reference: "
+                        "reference-parity pyramid (2x upsample, 4 octaves)")
     r.add_argument("--out", default=None)
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--resume", default=None)
+    r.add_argument("--metrics", default=None,
+                   help="write per-frame metrics JSON lines here")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE/RPE between two pose files")

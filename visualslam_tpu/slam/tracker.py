@@ -348,6 +348,27 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
+    def metrics(self) -> list:
+        """Structured per-frame metrics (SURVEY.md §5 observability) —
+        serialize as JSON lines for offline analysis."""
+        out = []
+        for f in self.frames:
+            out.append({
+                "frame": int(f.frame_id),
+                "matches": int(f.num_matches),
+                "inliers": int(f.num_inliers),
+                "keyframe": bool(f.is_keyframe),
+                "tracking_ok": bool(f.tracking_ok),
+            })
+        if out:
+            out[-1]["landmarks"] = int(self.map.lm_valid.sum())
+            out[-1]["keyframes"] = len(self.map.kf_order)
+            out[-1]["loop_closures"] = self.num_loop_closures
+            out[-1]["last_ba_cost"] = self.last_ba_cost
+        return out
+
+    last_ba_cost: float = -1.0
+
     def _run_window_ba(self) -> None:
         cfg = self.cfg.ba
         (slots, R, t, lm_slots, X, cam_idx, lm_idx, uv,
@@ -375,6 +396,7 @@ class Tracker:
             lm_valid=jnp.asarray(np.arange(L) < nL),
         )
         res = run_ba_jit(p, cfg)
+        self.last_ba_cost = float(res.cost)
         self.map.writeback_ba(slots, lm_slots,
                               np.asarray(res.R[:nC]), np.asarray(res.t[:nC]),
                               np.asarray(res.X[:nL]))

@@ -43,7 +43,10 @@ class _Base:
             if k not in names:
                 raise KeyError(f"{cls.__name__}: unknown config key {k!r}")
             f = names[k]
-            sub = f.type if isinstance(f.type, type) else None
+            # under `from __future__ import annotations` f.type is a string;
+            # resolve nested config classes from this module's globals
+            sub = f.type if isinstance(f.type, type) else globals().get(
+                str(f.type), None)
             if isinstance(v, dict) and sub is not None and dataclasses.is_dataclass(sub):
                 v = sub.from_dict(v)
             elif isinstance(v, list):
