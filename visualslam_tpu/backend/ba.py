@@ -216,7 +216,15 @@ def ba_step(p: BAProblem, R, t, X, lam, cfg: BAConfig):
 
 
 def run_ba(p: BAProblem, cfg: BAConfig) -> BAResult:
-    """Levenberg-Marquardt loop (static iteration count, masked accept)."""
+    """Levenberg-Marquardt loop (static iteration count, masked accept).
+
+    Traced under float32 matmul precision: the MXU's default bf16 passes
+    visibly degrade normal-equation conditioning (worse ATE on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _run_ba_impl(p, cfg)
+
+
+def _run_ba_impl(p: BAProblem, cfg: BAConfig) -> BAResult:
     R, t, X = p.R, p.t, p.X
     lam = jnp.asarray(cfg.damping_init, X.dtype)
     cost = robust_cost(p, R, t, X, cfg.huber_delta)

@@ -34,7 +34,14 @@ def _pose_residuals(R, t, X, uv):
     return r, pc
 
 
-def refine_pose(R0: jnp.ndarray, t0: jnp.ndarray, X: jnp.ndarray,
+def refine_pose(*args, **kwargs):
+    """f32-matmul-precision wrapper of _refine_pose_highp (MXU default
+    bf16 passes degrade geometric accuracy on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _refine_pose_highp(*args, **kwargs)
+
+
+def _refine_pose_highp(R0: jnp.ndarray, t0: jnp.ndarray, X: jnp.ndarray,
                 uv: jnp.ndarray, valid: jnp.ndarray,
                 iters: int = 10, huber_delta: float = 5e-3,
                 inlier_threshold: float = 6e-3,
@@ -42,6 +49,7 @@ def refine_pose(R0: jnp.ndarray, t0: jnp.ndarray, X: jnp.ndarray,
     """Motion-only LM. X: [N, 3] world points; uv: [N, 2] normalized-plane
     measurements; valid: [N]. Returns refined pose + inlier stats."""
 
+    # keep in this function: traced under f32 matmul precision below
     def cost_fn(R, t):
         r, pc = _pose_residuals(R, t, X, uv)
         rn = jnp.linalg.norm(r, axis=-1)

@@ -115,7 +115,14 @@ def _gn_step(g: PoseGraph, R, t, lam):
     return dR @ R, (dR @ t[..., None])[..., 0] + dt
 
 
-def optimize_pose_graph(g: PoseGraph, cfg: PoseGraphConfig) -> PoseGraphResult:
+def optimize_pose_graph(*args, **kwargs):
+    """f32-matmul-precision wrapper of _optimize_pose_graph_highp (MXU default
+    bf16 passes degrade geometric accuracy on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _optimize_pose_graph_highp(*args, **kwargs)
+
+
+def _optimize_pose_graph_highp(g: PoseGraph, cfg: PoseGraphConfig) -> PoseGraphResult:
     R, t = g.R, g.t
     lam = jnp.asarray(cfg.damping, R.dtype)
     cost = pose_graph_cost(g, R, t)

@@ -71,23 +71,32 @@ def cmd_run(args) -> None:
         print(f"resumed from {args.resume} at frame {start}")
 
     ckpt_path = args.checkpoint or "slam_ckpt.npz"
+    B = max(1, args.batch)
     t0 = time.perf_counter()
-    for k in range(start, len(seq)):
+    k = start
+    while k < len(seq):
+        ids = list(range(k, min(k + B, len(seq))))
+        imgs = np.stack([seq.frame(i) for i in ids])
         try:
-            res = tracker.process(seq.frame(k), k)
+            if len(ids) > 1:
+                results = tracker.process_batch(imgs, ids[0])
+            else:
+                results = [tracker.process(imgs[0], ids[0])]
         except Exception as e:  # failure detection: save state, surface it
             save_checkpoint(ckpt_path, tracker)
-            print(f"frame {k}: FAILED ({type(e).__name__}: {e}); emergency "
-                  f"checkpoint -> {ckpt_path}", flush=True)
+            print(f"frames {ids[0]}..{ids[-1]}: FAILED "
+                  f"({type(e).__name__}: {e}); emergency checkpoint -> "
+                  f"{ckpt_path}", flush=True)
             raise
-        if k % 10 == 0:
-            el = time.perf_counter() - t0
-            fps = (k - start + 1) / el
-            print(f"frame {k}/{len(seq)} inliers={res.num_inliers} "
-                  f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
-                  f"{fps:.1f} fps", flush=True)
-        if args.checkpoint_every and (k + 1) % args.checkpoint_every == 0:
+        res = results[-1]
+        el = time.perf_counter() - t0
+        fps = (ids[-1] - start + 1) / el
+        print(f"frame {ids[-1]}/{len(seq)} inliers={res.num_inliers} "
+              f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
+              f"{fps:.1f} fps", flush=True)
+        if args.checkpoint_every and (ids[-1] + 1) % args.checkpoint_every < B:
             save_checkpoint(ckpt_path, tracker)
+        k = ids[-1] + 1
     wall = time.perf_counter() - t0
     est = tracker.trajectory()
     out = args.out or "poses_est.txt"
@@ -156,6 +165,8 @@ def main(argv=None) -> None:
     r.add_argument("--resume", default=None)
     r.add_argument("--metrics", default=None,
                    help="write per-frame metrics JSON lines here")
+    r.add_argument("--batch", type=int, default=8,
+                   help="frames per batched detection call (1 = per-frame)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE/RPE between two pose files")

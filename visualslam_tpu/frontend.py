@@ -19,7 +19,14 @@ from visualslam_tpu.utils.config import SlamConfig
 def detect_and_describe(img: jnp.ndarray, cfg: SlamConfig) -> Features:
     """img: [H, W] float in [0, 1]. Returns fixed-capacity Features.
 
-    Jit with cfg static: jax.jit(detect_and_describe, static_argnums=1)."""
+    Jit with cfg static: jax.jit(detect_and_describe, static_argnums=1).
+    Traced under float32 matmul precision — the MXU's default bf16 passes
+    add ~0.3 px of detection jitter that propagates into trajectory error."""
+    with jax.default_matmul_precision("float32"):
+        return _detect_and_describe(img, cfg)
+
+
+def _detect_and_describe(img: jnp.ndarray, cfg: SlamConfig) -> Features:
     if cfg.frontend == "sift":
         from visualslam_tpu.models.sift import detect_and_describe_sift
 

@@ -37,7 +37,14 @@ def _normalize_pts(x: jnp.ndarray, w: jnp.ndarray):
     return xn, T
 
 
-def eight_point(x1: jnp.ndarray, x2: jnp.ndarray,
+def eight_point(*args, **kwargs):
+    """f32-matmul-precision wrapper of _eight_point_highp (MXU default
+    bf16 passes degrade geometric accuracy on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _eight_point_highp(*args, **kwargs)
+
+
+def _eight_point_highp(x1: jnp.ndarray, x2: jnp.ndarray,
                 w: jnp.ndarray | None = None) -> jnp.ndarray:
     """Weighted 8-point essential/fundamental estimate.
 
@@ -79,7 +86,14 @@ def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
     return num / jnp.maximum(den, _EPS)
 
 
-def triangulate(R: jnp.ndarray, t: jnp.ndarray, x1: jnp.ndarray,
+def triangulate(*args, **kwargs):
+    """f32-matmul-precision wrapper of _triangulate_highp (MXU default
+    bf16 passes degrade geometric accuracy on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _triangulate_highp(*args, **kwargs)
+
+
+def _triangulate_highp(R: jnp.ndarray, t: jnp.ndarray, x1: jnp.ndarray,
                 x2: jnp.ndarray) -> jnp.ndarray:
     """Linear (DLT) triangulation in camera-1 frame.
 

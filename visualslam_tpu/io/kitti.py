@@ -152,17 +152,21 @@ class SyntheticSequence:
         v = fy * Xc[:, 1] / np.maximum(z, 1e-6) + cy
         img = np.full((self.h, self.w), 0.15, np.float32)
         sel = vis & (u > -8) & (u < self.w + 8) & (v > -8) & (v < self.h + 8)
-        # splat Gaussians (vectorized over a small stencil)
-        yy, xx = np.mgrid[-5:6, -5:6]
-        for ui, vi, a, r, zi in zip(u[sel], v[sel], self.amp[sel],
-                                    self.rad[sel], z[sel]):
-            r_px = r * 20.0 / zi  # perspective-scaled radius
-            iu, iv = int(round(ui)), int(round(vi))
-            ys = np.clip(iv + yy, 0, self.h - 1)
-            xs = np.clip(iu + xx, 0, self.w - 1)
-            g = a * np.exp(-((yy + iv - vi) ** 2 + (xx + iu - ui) ** 2)
-                           / (2 * max(r_px, 0.8) ** 2))
-            np.maximum.at(img, (ys, xs), np.minimum(0.15 + g, 1.0))
+        if sel.any():
+            # vectorized Gaussian splatting over an 11x11 stencil
+            yy, xx = np.mgrid[-5:6, -5:6]
+            us, vs = u[sel], v[sel]
+            iu = np.round(us).astype(np.int64)
+            iv = np.round(vs).astype(np.int64)
+            r_px = np.maximum(self.rad[sel] * 20.0 / z[sel], 0.8)
+            dy = yy[None] + (iv - vs)[:, None, None]          # [n, 11, 11]
+            dx = xx[None] + (iu - us)[:, None, None]
+            g = self.amp[sel][:, None, None] * np.exp(
+                -(dy * dy + dx * dx) / (2 * r_px[:, None, None] ** 2))
+            ys = np.clip(iv[:, None, None] + yy[None], 0, self.h - 1)
+            xs = np.clip(iu[:, None, None] + xx[None], 0, self.w - 1)
+            np.maximum.at(img, (ys.ravel(), xs.ravel()),
+                          np.minimum(0.15 + g, 1.0).ravel().astype(np.float32))
         return img
 
     def frames(self) -> Iterator[np.ndarray]:

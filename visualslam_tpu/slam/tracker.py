@@ -97,6 +97,27 @@ class Tracker:
         feats = self._frontend(jnp.asarray(img, jnp.float32))
         return self.process_features(feats, frame_id)
 
+    def detect_batch(self, imgs: np.ndarray) -> Features:
+        """Batched detection: [B, H, W] -> Features with leading batch axis.
+
+        One TPU execution for B frames (amortizes dispatch overhead; see
+        bench.py notes). Slice per-frame Features with `features_at`."""
+        if not hasattr(self, "_frontend_batched"):
+            self._frontend_batched = jax.jit(jax.vmap(self._frontend))
+        return self._frontend_batched(jnp.asarray(imgs, jnp.float32))
+
+    @staticmethod
+    def features_at(batched: Features, i: int) -> Features:
+        """Extract frame i's Features from a batched Features pytree."""
+        return jax.tree_util.tree_map(lambda x: x[i], batched)
+
+    def process_batch(self, imgs: np.ndarray, first_frame_id: int):
+        """Detect a batch in one device call, then track frame by frame."""
+        feats_b = self.detect_batch(imgs)
+        return [self.process_features(self.features_at(feats_b, i),
+                                      first_frame_id + i)
+                for i in range(imgs.shape[0])]
+
     def process_features(self, feats: Features, frame_id: int) -> FrameResult:
         """Run tracking on precomputed Features (lets tests and alternative
         frontends bypass detection)."""
