@@ -33,21 +33,41 @@ def match_features(fa: Features, fb: Features, cfg: MatchConfig) -> Matches:
     mutual-best check; matches ranked by distance, best first."""
     va = fa.keypoints.valid
     vb = fb.keypoints.valid
-    dist = distance_matrix(fa, fb, cfg.metric)
-    dist = jnp.where(va[:, None] & vb[None, :], dist, _BIG)
+    use_pallas = (cfg.impl == "pallas" and cfg.metric == "l2"
+                  and fa.capacity % cfg.tile == 0
+                  and fb.capacity % cfg.tile == 0
+                  and fa.descriptors.shape[1] % 128 == 0)
+    if use_pallas:
+        from visualslam_tpu.ops.pallas.distance import pallas_l2_2nn
 
-    # best + second-best per row
-    neg2, idx2 = jax.lax.top_k(-dist, 2)                   # [Ka, 2]
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    nn = idx2[:, 0]
+        # mask invalid rows with a large constant descriptor so their
+        # distances can never win the streaming 2-NN reduction
+        da = jnp.where(va[:, None], fa.descriptors, 1e3)
+        db = jnp.where(vb[:, None], fb.descriptors, 1e3)
+        best, second, nn = pallas_l2_2nn(da, db, cfg.tile, cfg.tile)
+        # distances involving any masked row are >= ~1e6 >> any real match
+        best = jnp.where(va & (best < 1e6), best, _BIG)
+        ratio = cfg.ratio ** 2
+        ok = va & (best < _BIG) & (best < ratio * second)
+        if cfg.mutual:
+            _, _, col_nn = pallas_l2_2nn(db, da, cfg.tile, cfg.tile)
+            ok &= col_nn[nn] == jnp.arange(fa.capacity)
+    else:
+        dist = distance_matrix(fa, fb, cfg.metric)
+        dist = jnp.where(va[:, None] & vb[None, :], dist, _BIG)
 
-    ratio = cfg.ratio ** 2 if cfg.metric == "l2" else cfg.ratio
-    ok = va & (best < _BIG) & (best < ratio * second)
+        # best + second-best per row
+        neg2, idx2 = jax.lax.top_k(-dist, 2)               # [Ka, 2]
+        best = -neg2[:, 0]
+        second = -neg2[:, 1]
+        nn = idx2[:, 0]
 
-    if cfg.mutual:
-        col_best = jnp.argmin(dist, axis=0)                # [Kb]
-        ok &= col_best[nn] == jnp.arange(dist.shape[0])
+        ratio = cfg.ratio ** 2 if cfg.metric == "l2" else cfg.ratio
+        ok = va & (best < _BIG) & (best < ratio * second)
+
+        if cfg.mutual:
+            col_best = jnp.argmin(dist, axis=0)            # [Kb]
+            ok &= col_best[nn] == jnp.arange(dist.shape[0])
 
     m = cfg.max_matches
     idx, mask = top_k_select(-best, ok, m)

@@ -52,18 +52,20 @@ def _interpret() -> bool:
 
 def _vconv_2d_kernel(taps_ref, in_hbm, out_ref, slab, sem, *,
                      K: int, TILE: int, SLAB: int):
-    """y-conv of a 2-D image shared across the sigma grid axis."""
+    """y-conv of a 2-D image shared across the sigma grid axis.
+
+    The K-tap accumulation is a STATIC unroll of sublane-shifted slices —
+    dynamic (`pl.ds(k, ...)` with traced k) sublane offsets crash this
+    platform's remote Mosaic compile, static ones are fine."""
     s = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(in_hbm.at[pl.ds(i * TILE, SLAB), :], slab, sem)
     cp.start()
     cp.wait()
-
-    def body(k, acc):
-        return acc + taps_ref[s, k] * slab[pl.ds(k, TILE), :]
-
-    acc0 = taps_ref[s, 0] * slab[pl.ds(0, TILE), :]
-    out_ref[0] = jax.lax.fori_loop(1, K, body, acc0)
+    acc = taps_ref[s, 0] * slab[0:TILE, :]
+    for k in range(1, K):
+        acc += taps_ref[s, k] * slab[k:k + TILE, :]
+    out_ref[0] = acc
 
 
 def _vconv_3d_kernel(taps_ref, in_hbm, out_ref, slab, sem, *,
@@ -75,12 +77,10 @@ def _vconv_3d_kernel(taps_ref, in_hbm, out_ref, slab, sem, *,
         in_hbm.at[s, pl.ds(i * TILE, SLAB), :], slab, sem)
     cp.start()
     cp.wait()
-
-    def body(k, acc):
-        return acc + taps_ref[s, k] * slab[pl.ds(k, TILE), :]
-
-    acc0 = taps_ref[s, 0] * slab[pl.ds(0, TILE), :]
-    out_ref[0] = jax.lax.fori_loop(1, K, body, acc0)
+    acc = taps_ref[s, 0] * slab[0:TILE, :]
+    for k in range(1, K):
+        acc += taps_ref[s, k] * slab[k:k + TILE, :]
+    out_ref[0] = acc
 
 
 def _conv_pass(x, taps, kernel, S, rows_out, lanes, K, TILE):

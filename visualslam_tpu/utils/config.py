@@ -159,6 +159,7 @@ class MatchConfig(_Base):
     metric: str = "l2"                  # "l2" | "hamming"
     max_matches: int = 512              # fixed-capacity matches (masked)
     tile: int = 256                     # tile size for the pallas distance kernel
+    impl: str = "xla"                   # "xla" | "pallas" (streaming 2-NN kernel)
 
 
 @dataclass(frozen=True)
