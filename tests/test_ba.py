@@ -141,3 +141,15 @@ def test_ba_gauge_fixed_camera(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(res.t[0]), np.asarray(p.t[0]),
                                atol=1e-6)
+
+
+def test_ba_cg_solver_matches_dense(rng):
+    """schur_cg and schur_dense converge to the same optimum."""
+    p, R_gt, t_gt, X_gt = make_ba_problem(rng, n_cams=5, n_lms=200)
+    r_dense = run_ba_jit(p, BAConfig(iters=10, solver="schur_dense"))
+    r_cg = run_ba_jit(p, BAConfig(iters=10, solver="schur_cg", cg_iters=60))
+    assert float(r_cg.cost) < float(r_cg.initial_cost) * 1e-3
+    np.testing.assert_allclose(np.asarray(r_cg.R), np.asarray(r_dense.R),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_cg.t), np.asarray(r_dense.t),
+                               atol=2e-2)

@@ -179,7 +179,12 @@ def schur_camera_system(U, V, bc, bl, Wd, lam):
 
 
 def solve_cameras(S, b, cam_valid, lam, cfg: BAConfig):
-    """Damp, gauge-fix, and dense-solve the reduced 6C x 6C system."""
+    """Damp, gauge-fix, and solve the reduced 6C x 6C camera system.
+
+    solver="schur_dense": direct dense solve (best for small windows);
+    solver="schur_cg": Jacobi-preconditioned conjugate gradients on the same
+    (SPD) system — the option that scales to large camera counts and to a
+    matvec-only distributed formulation."""
     C = cam_valid.shape[0]
     frozen = ~cam_valid
     if cfg.fix_first_camera:
@@ -190,6 +195,13 @@ def solve_cameras(S, b, cam_valid, lam, cfg: BAConfig):
     S2 = S2 * mask6[:, None] * mask6[None, :]
     S2 = S2 + jnp.diag(1.0 - mask6)                      # identity on frozen
     b2 = b.reshape(-1) * mask6
+    if cfg.solver == "schur_cg":
+        diag = jnp.diagonal(S2)
+        inv_diag = 1.0 / jnp.maximum(diag, 1e-12)
+        x, _ = jax.scipy.sparse.linalg.cg(
+            lambda v: S2 @ v, b2, M=lambda v: inv_diag * v,
+            maxiter=cfg.cg_iters, tol=1e-10)
+        return x.reshape(C, 6)
     return jnp.linalg.solve(S2, b2).reshape(C, 6)
 
 
