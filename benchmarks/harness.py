@@ -102,6 +102,22 @@ def run_benchmarks(full: bool = False, h: int = 376, w: int = 1248) -> dict:
     # BA: 10 cams, 4096 landmarks, 16384 obs, one LM iteration
     results.update(_bench_ba(run_ba, cfg, _time))
 
+    # rotated-window sampling: the one micro-benchmark the reference ships
+    # (rotate_image_test.cpp:73-94 times 16x16 rotated-ROI extraction)
+    from visualslam_tpu.ops.patches import extract_rotated_patches
+
+    def rot_args(seed):
+        r = np.random.default_rng(seed)
+        img = jnp.asarray(r.random((512, 512), dtype=np.float32))
+        yx = jnp.asarray(r.uniform(20, 490, (512, 2)).astype(np.float32))
+        ang = jnp.asarray(r.uniform(0, 360, 512).astype(np.float32))
+        return img, yx, ang
+
+    f = jax.jit(lambda im, yx, a: jnp.sum(
+        extract_rotated_patches(im, yx, a, 16)))
+    results["rotated_patch_512x16x16_ms"] = _time(
+        f, [rot_args(i) for i in range(4)]) * 1e3
+
     # PnP
     def pnp_args(seed):
         r = np.random.default_rng(seed)

@@ -101,3 +101,31 @@ def test_resize_roundtrip(rng):
     assert down.shape == (16, 24)
     nearest = np.asarray(downsample2x_nearest(jnp.asarray(img)))
     np.testing.assert_allclose(nearest, img[::2, ::2])
+
+
+def test_rotate_points_quarter_turn():
+    from visualslam_tpu.ops.patches import rotate_points
+
+    pts = jnp.asarray([[0.0, 10.0], [0.0, -10.0]])  # (y, x) about origin
+    out = np.asarray(rotate_points(pts, 90.0, (0.0, 0.0)))
+    # CCW 90deg in image coords: (y, x)=(0, 10) -> (10, 0)
+    np.testing.assert_allclose(out[0], [10.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(out[1], [-10.0, 0.0], atol=1e-5)
+    # CW inverts
+    back = np.asarray(rotate_points(jnp.asarray(out), 90.0, (0.0, 0.0),
+                                    clockwise=True))
+    np.testing.assert_allclose(back, np.asarray(pts), atol=1e-5)
+
+
+def test_pyramid_montage(tmp_path, rng):
+    import os
+
+    from visualslam_tpu.models.pyramid import build_pyramid
+    from visualslam_tpu.slam.viz import save_pyramid_montage
+    from visualslam_tpu.utils.config import PyramidConfig
+
+    img = jnp.asarray(rng.random((64, 64), dtype=np.float32))
+    ss = build_pyramid(img, PyramidConfig(num_octaves=2))
+    p = str(tmp_path / "pyr.png")
+    save_pyramid_montage(ss, p)
+    assert os.path.getsize(p) > 500

@@ -123,3 +123,22 @@ def extract_rotated_patches(img: jnp.ndarray, yx: jnp.ndarray,
     """[K, size, size] rotation-normalized windows, bilinearly sampled."""
     coords = rotated_grid(yx, angle_deg, size, step)
     return sample_bilinear(img, coords)
+
+
+def rotate_points(yx: jnp.ndarray, angle_deg, center,
+                  clockwise: bool = False) -> jnp.ndarray:
+    """Rotate 2-D points about a center (float, exact — the functional twin
+    of SLAM::Rotation's integer rotate_pt_CW/CCW overloads,
+    rotation.cpp:19-62, without their nearest-integer truncation).
+
+    yx: [..., 2] (y, x); angle in degrees; CCW by default in image coords
+    (y down)."""
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    if clockwise:
+        theta = -theta
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    center = jnp.asarray(center, jnp.float32)
+    d = yx - center
+    ry = s * d[..., 1] + c * d[..., 0]
+    rx = c * d[..., 1] - s * d[..., 0]
+    return jnp.stack([ry, rx], -1) + center

@@ -61,6 +61,33 @@ def draw_matches(img_a: np.ndarray, img_b: np.ndarray, feats_a, feats_b,
     canvas.save(path)
 
 
+def save_pyramid_montage(scale_space, path: str, octave: int | None = None,
+                         max_w: int = 1600) -> None:
+    """Render the Gaussian stack(s) as an image-grid PNG — the headless
+    analogue of the reference's showOctave/showPyramid windows
+    (GaussPyramid.cpp:45-63). One row per octave (or a single octave)."""
+    from PIL import Image
+
+    octs = ([octave] if octave is not None
+            else list(range(scale_space.num_octaves)))
+    rows = []
+    for o in octs:
+        stack = np.asarray(scale_space.gauss[o])
+        row = np.concatenate(list(stack), axis=1)
+        rows.append(row)
+    W = max(r.shape[1] for r in rows)
+    H = sum(r.shape[0] for r in rows)
+    canvas = np.zeros((H, W), np.float32)
+    y = 0
+    for r in rows:
+        canvas[y: y + r.shape[0], : r.shape[1]] = r
+        y += r.shape[0]
+    img = Image.fromarray((np.clip(canvas, 0, 1) * 255).astype(np.uint8))
+    if img.width > max_w:
+        img = img.resize((max_w, int(img.height * max_w / img.width)))
+    img.save(path)
+
+
 def draw_trajectory(poses: np.ndarray, path: str, gt: np.ndarray = None,
                     size: int = 640) -> None:
     """Top-down (x, z) trajectory plot rendered directly to a PNG."""
