@@ -129,3 +129,18 @@ def test_pyramid_montage(tmp_path, rng):
     p = str(tmp_path / "pyr.png")
     save_pyramid_montage(ss, p)
     assert os.path.getsize(p) > 500
+
+
+def test_rotate_image_quarter_turns(rng):
+    from visualslam_tpu.ops.patches import rotate_image
+
+    img = rng.random((32, 32)).astype(np.float32)
+    r90 = np.asarray(rotate_image(jnp.asarray(img), 90.0))
+    # CCW 90 deg in image coords (y down) == np.rot90(img, -1)? verify via
+    # double application: 180 deg == flip both axes (interior)
+    r180 = np.asarray(rotate_image(jnp.asarray(img), 180.0))
+    np.testing.assert_allclose(r180[1:-1, 1:-1], img[::-1, ::-1][1:-1, 1:-1],
+                               atol=1e-4)
+    # rotating back restores (interior; border clamped)
+    back = np.asarray(rotate_image(jnp.asarray(r90), -90.0))
+    np.testing.assert_allclose(back[4:-4, 4:-4], img[4:-4, 4:-4], atol=1e-4)

@@ -120,3 +120,12 @@ def test_tracker_ba_helps_under_noise(rng):
                     centers_from_poses(gt))
     assert a_ba < 0.2 and a_no < 0.3, (a_ba, a_no)
     assert a_ba <= a_no * 1.2 + 0.02, (a_ba, a_no)
+
+
+def test_keyframe_trajectory_export(rng):
+    tracker, gt = run_sequence(rng, n_frames=12)
+    ids, poses = tracker.keyframe_trajectory()
+    assert len(ids) == len(poses) > 2
+    assert poses.shape[1:] == (3, 4)
+    # keyframe ids must be a subset of processed frames, increasing
+    assert (np.diff(ids) > 0).all()

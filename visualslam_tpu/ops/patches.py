@@ -125,6 +125,25 @@ def extract_rotated_patches(img: jnp.ndarray, yx: jnp.ndarray,
     return sample_bilinear(img, coords)
 
 
+def rotate_image(img: jnp.ndarray, angle_deg, center=None) -> jnp.ndarray:
+    """Rotate a whole image CCW about a center (bilinear, same shape).
+
+    The functional twin of SLAM::Rotation::rotate_mat_CCW / doubleCrop
+    (rotation.cpp:66-84, 147-202) — one inverse-mapped bilinear resample
+    instead of integer point lists; out-of-frame samples clamp to the edge.
+    """
+    H, W = img.shape
+    if center is None:
+        center = ((H - 1) / 2.0, (W - 1) / 2.0)
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    coords = jnp.stack([jnp.broadcast_to(yy, (H, W)),
+                        jnp.broadcast_to(xx, (H, W))], -1)
+    # inverse mapping: sample source at the point that rotates TO (y, x)
+    src = rotate_points(coords, angle_deg, center, clockwise=True)
+    return sample_bilinear(img, src)
+
+
 def rotate_points(yx: jnp.ndarray, angle_deg, center,
                   clockwise: bool = False) -> jnp.ndarray:
     """Rotate 2-D points about a center (float, exact — the functional twin

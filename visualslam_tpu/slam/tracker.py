@@ -432,3 +432,23 @@ class Tracker:
             c = -f.R.T @ f.t
             out.append(np.concatenate([Rcw, c[:, None]], axis=1))
         return np.stack(out)
+
+    def keyframe_trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        """(frame_ids [K], poses [K, 3, 4]) over keyframes — pose-graph-
+        corrected when loop closure has run, odometry otherwise."""
+        if self.loop_closer is None or not self.loop_closer.entries:
+            ids = [f.frame_id for f in self.frames if f.is_keyframe]
+            poses = [p for f, p in zip(self.frames, self.trajectory())
+                     if f.is_keyframe]
+            return np.asarray(ids), (np.stack(poses) if poses
+                                     else np.zeros((0, 3, 4)))
+        lc = self.loop_closer
+        if lc.corrected is None:
+            pairs = [(e.R, e.t) for e in lc.entries]
+        else:
+            pairs = lc.corrected
+        ids = np.asarray([e.frame_id for e in lc.entries])
+        poses = np.stack([
+            np.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+            for R, t in pairs])
+        return ids, poses
