@@ -55,3 +55,38 @@ def test_shard_problem_roundtrip(rng):
     # local lm_idx within range
     li = np.asarray(sp.lm_idx)
     assert li.min() >= 0 and li.max() < 20
+
+
+def test_ring_allreduce_matches_psum(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from visualslam_tpu.parallel.collectives import ring_allreduce
+    from visualslam_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, axis="r")
+    x = rng.standard_normal((8, 37)).astype(np.float32)
+
+    def f(v):
+        v = v[0]
+        return (ring_allreduce(v, "r")[None],
+                jax.lax.psum(v, "r")[None])
+
+    ring, ps = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=P("r"), out_specs=(P("r"), P("r"))))(
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ps), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ring)[0], x.sum(0), atol=1e-4)
+
+
+def test_sharded_ba_ring_reduce(rng):
+    p, *_ = make_ba_problem(rng, n_cams=4, n_lms=160)
+    cfg = BAConfig(iters=5)
+    mesh = make_mesh(8, axis="shard")
+    sp = shard_problem(p, 8)
+    r_psum = run_ba_sharded(sp, cfg, mesh, reduce="psum")
+    r_ring = run_ba_sharded(sp, cfg, mesh, reduce="ring")
+    np.testing.assert_allclose(np.asarray(r_ring.R), np.asarray(r_psum.R),
+                               atol=1e-4)
+    assert float(r_ring.cost) < float(r_ring.initial_cost) * 1e-2

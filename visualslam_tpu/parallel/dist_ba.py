@@ -103,20 +103,39 @@ def unshard_points(X_sharded: jnp.ndarray) -> jnp.ndarray:
 
 
 def run_ba_sharded(sp: ShardedBAProblem, cfg: BAConfig, mesh: Mesh,
-                   axis: str = "shard") -> BAResult:
+                   axis: str = "shard", reduce: str = "psum") -> BAResult:
     """Distributed LM loop under shard_map. Returns BAResult with X stacked
-    [n, L_s, 3] (use unshard_points)."""
+    [n, L_s, 3] (use unshard_points).
+
+    reduce: "psum" (XLA picks the all-reduce) or "ring" (explicit ppermute
+    reduce-scatter ring, parallel/collectives.py)."""
+    if reduce == "ring":
+        from visualslam_tpu.parallel.collectives import ring_allreduce
+
+        allreduce = lambda v: ring_allreduce(v, axis)  # noqa: E731
+    else:
+        allreduce = lambda v: jax.lax.psum(v, axis)    # noqa: E731
 
     def local_problem(X_s, lmv_s, ci_s, li_s, uv_s, ov_s, R, t):
         return BAProblem(
             R=R, t=t, X=X_s, cam_idx=ci_s, lm_idx=li_s, uv=uv_s,
             obs_valid=ov_s, cam_valid=sp.cam_valid, lm_valid=lmv_s)
 
+    n_shards = mesh.shape[axis]
+
     def loop(X_s, lmv_s, ci_s, li_s, uv_s, ov_s, R, t):
         # local blocks keep a leading shard axis of size 1 — drop it
         X_s, lmv_s, ci_s, li_s, uv_s, ov_s = (
             a[0] for a in (X_s, lmv_s, ci_s, li_s, uv_s, ov_s))
+        if reduce == "ring":
+            # ring results are 'varying' in shard_map's type system even
+            # though numerically replicated; make the whole carry varying
+            # and collapse back to replicated after the scan
+            R = jax.lax.pvary(R, axis)
+            t = jax.lax.pvary(t, axis)
         lam = jnp.asarray(cfg.damping_init, X_s.dtype)
+        if reduce == "ring":
+            lam = jax.lax.pvary(lam, axis)
         p0 = local_problem(X_s, lmv_s, ci_s, li_s, uv_s, ov_s, R, t)
         cost = jax.lax.psum(
             robust_cost(p0, R, t, X_s, cfg.huber_delta), axis)
@@ -127,8 +146,8 @@ def run_ba_sharded(sp: ShardedBAProblem, cfg: BAConfig, mesh: Mesh,
             p = local_problem(X_s, lmv_s, ci_s, li_s, uv_s, ov_s, R, t)
             U, V, bc, bl, Wd = normal_equations(p, R, t, X_s, cfg)
             S, b, V_inv = schur_camera_system(U, V, bc, bl, Wd, lam)
-            S = jax.lax.psum(S, axis)          # the one collective per iter
-            b = jax.lax.psum(b, axis)
+            S = allreduce(S)                   # the one collective per iter
+            b = allreduce(b)
             dc = solve_cameras(S, b, sp.cam_valid, lam, cfg)
             dl = backsub_landmarks(V_inv, bl, Wd, dc, lmv_s)
             Rn, tn, Xn = apply_increments(R, t, X_s, dc, dl)
@@ -146,6 +165,13 @@ def run_ba_sharded(sp: ShardedBAProblem, cfg: BAConfig, mesh: Mesh,
 
         (R, t, X_s, lam, cost), _ = jax.lax.scan(
             body, (R, t, X_s, lam, cost), None, length=cfg.iters)
+        if reduce == "ring":
+            # collapse numerically-replicated varying values to replicated
+            inv = 1.0 / n_shards
+            R = jax.lax.psum(R, axis) * inv
+            t = jax.lax.psum(t, axis) * inv
+            cost = jax.lax.psum(cost, axis) * inv
+            lam = jax.lax.psum(lam, axis) * inv
         return R, t, X_s[None], cost, init_cost, lam
 
     smapped = jax.shard_map(
