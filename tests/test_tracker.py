@@ -129,3 +129,27 @@ def test_keyframe_trajectory_export(rng):
     assert poses.shape[1:] == (3, 4)
     # keyframe ids must be a subset of processed frames, increasing
     assert (np.diff(ids) > 0).all()
+
+
+def test_process_batch_equals_sequential(rng):
+    """Batched detection + tracking must produce the same trajectory as
+    per-frame processing (same features, same order)."""
+    from visualslam_tpu.io.kitti import SyntheticSequence
+
+    seq = SyntheticSequence(num_frames=8, h=120, w=160, n_dots=400)
+    info = seq.info()
+    cfg = CFG.replace(pyramid=CFG.pyramid.replace(num_octaves=2),
+                      sift=CFG.sift.replace(max_keypoints_per_octave=256,
+                                            max_keypoints=512))
+    t1 = Tracker(cfg, info.intrinsics)
+    for k in range(len(seq)):
+        t1.process(seq.frame(k), k)
+
+    t2 = Tracker(cfg, info.intrinsics)
+    imgs = np.stack([seq.frame(k) for k in range(len(seq))])
+    t2.process_batch(imgs[:4], 0)
+    t2.process_batch(imgs[4:], 4)
+
+    for a, b in zip(t1.frames, t2.frames):
+        np.testing.assert_allclose(a.t, b.t, atol=1e-4)
+        assert a.is_keyframe == b.is_keyframe
