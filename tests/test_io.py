@@ -87,3 +87,46 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         r1 = t1.process_features(feats, k)
         r2 = t2.process_features(feats, k)
         np.testing.assert_allclose(r1.t, r2.t, atol=1e-5)
+
+
+def test_kitti_loader_layout(tmp_path, rng):
+    """KittiOdometrySequence reads the standard KITTI odometry layout."""
+    from PIL import Image
+
+    seqdir = tmp_path / "sequences" / "07"
+    imgdir = seqdir / "image_0"
+    imgdir.mkdir(parents=True)
+    H, W = 48, 64
+    for i in range(4):
+        arr = (rng.random((H, W)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(imgdir / f"{i:06d}.png")
+    P = "7.070912e+02 0.000000e+00 6.018873e+02 0.000000e+00 " \
+        "0.000000e+00 7.070912e+02 1.831104e+02 0.000000e+00 " \
+        "0.000000e+00 0.000000e+00 1.000000e+00 0.000000e+00"
+    with open(seqdir / "calib.txt", "w") as f:
+        for k in range(4):
+            f.write(f"P{k}: {P}\n")
+    np.savetxt(seqdir / "times.txt", np.arange(4) * 0.1)
+    posedir = tmp_path / "poses"
+    posedir.mkdir()
+    poses = np.tile(np.eye(3, 4), (4, 1, 1))
+    poses[:, 2, 3] = np.arange(4) * 0.8
+    from visualslam_tpu.io.serialization import save_kitti_poses
+
+    save_kitti_poses(str(posedir / "07.txt"), poses)
+
+    from visualslam_tpu.io.kitti import KittiOdometrySequence
+
+    seq = KittiOdometrySequence(str(tmp_path), "07")
+    assert len(seq) == 4
+    info = seq.info()
+    np.testing.assert_allclose(info.intrinsics,
+                               [707.0912, 707.0912, 601.8873, 183.1104],
+                               rtol=1e-6)
+    assert info.image_size == (H, W)
+    np.testing.assert_allclose(info.gt_poses[:, 2, 3],
+                               np.arange(4) * 0.8)
+    frames = list(seq.frames())  # exercises the native prefetcher path
+    assert len(frames) == 4
+    assert frames[0].shape == (H, W)
+    np.testing.assert_allclose(frames[1], seq.frame(1), atol=1e-6)
