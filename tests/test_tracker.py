@@ -153,3 +153,30 @@ def test_process_batch_equals_sequential(rng):
     for a, b in zip(t1.frames, t2.frames):
         np.testing.assert_allclose(a.t, b.t, atol=1e-4)
         assert a.is_keyframe == b.is_keyframe
+
+
+def test_orb_frontend_metric_autoswitch():
+    cfg = CFG.replace(frontend="orb")
+    assert cfg.match.metric == "l2"
+    t = Tracker(cfg, INTR)
+    assert t.cfg.match.metric == "hamming"
+
+
+def test_loop_closer_unpacks_orb_bits(rng):
+    from visualslam_tpu.slam.loop_closure import LoopCloser
+
+    lc = LoopCloser(INTR, CFG.match.replace(metric="hamming"),
+                    CFG.pose_graph, sub_keypoints=32)
+    cap = 64
+    desc = rng.integers(0, 2**32, (cap, 8), dtype=np.uint32)
+    kps = Keypoints.empty(cap)._replace(
+        yx=jnp.asarray(rng.uniform(0, 100, (cap, 2)).astype(np.float32)),
+        valid=jnp.ones(cap, bool), response=jnp.ones(cap, jnp.float32))
+    feats = Features(kps, jnp.asarray(desc))
+    idx = lc.add_keyframe(0, np.eye(3, dtype=np.float32),
+                          np.zeros(3, np.float32), feats,
+                          np.full(cap, -1), np.zeros((1, 3), np.float32))
+    e = lc.entries[idx]
+    assert e.desc.shape == (32, 256)       # unpacked bits
+    assert set(np.unique(e.desc)) <= {0.0, 1.0}
+    assert lc.match_cfg.metric == "l2"

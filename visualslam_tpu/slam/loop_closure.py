@@ -69,7 +69,11 @@ class LoopCloser:
                  min_inliers: int = 25,
                  exclude_recent: int = 10):
         self.intr = np.asarray(intrinsics, np.float32)
-        self.match_cfg = match_cfg.replace(max_matches=sub_keypoints)
+        # entries always store float descriptors (ORB bits get unpacked to
+        # {0,1} floats, where L2 == 2x Hamming), so match on L2 regardless
+        # of the tracker's metric
+        self.match_cfg = match_cfg.replace(max_matches=sub_keypoints,
+                                           metric="l2")
         self.pg_cfg = pg_cfg
         self.sub = sub_keypoints
         self.cos_thresh = cosine_threshold
@@ -95,7 +99,16 @@ class LoopCloser:
         """Register a keyframe. kp_lm: [K] landmark index per keypoint (-1
         if none); lm_positions: the global landmark array to snapshot from.
         Returns the database index."""
-        desc = np.asarray(feats.descriptors, np.float32)
+        desc = np.asarray(feats.descriptors)
+        if desc.dtype == np.uint32:
+            # bit-packed (ORB): unpack to {0,1} float bits — L2 on bit
+            # vectors is Hamming, so the standard matcher/global-descriptor
+            # machinery applies unchanged
+            desc = np.unpackbits(
+                desc.view(np.uint8), bitorder="little").reshape(
+                desc.shape[0], -1).astype(np.float32)
+        else:
+            desc = desc.astype(np.float32)
         valid = np.asarray(feats.keypoints.valid)
         resp = np.asarray(feats.keypoints.response)
         yx = np.asarray(feats.keypoints.yx)

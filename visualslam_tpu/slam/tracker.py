@@ -55,6 +55,10 @@ class Tracker:
                  run_ba: bool = True, loop_closure: bool | None = None):
         from visualslam_tpu.slam.map_state import SlamMap
 
+        if cfg.frontend == "orb" and cfg.match.metric != "hamming":
+            # ORB descriptors are bit-packed uint32 — L2 on packed words is
+            # meaningless; switch to Hamming automatically
+            cfg = cfg.replace(match=cfg.match.replace(metric="hamming"))
         self.cfg = cfg
         self.intr = jnp.asarray(intrinsics, jnp.float32)
         self.init_depth = init_depth
