@@ -118,6 +118,41 @@ def cmd_run(args) -> None:
         print("wrote trajectory.png")
 
 
+def cmd_two_view(args) -> None:
+    """Two-view reconstruction demo: detect+match+essential+triangulate."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualslam_tpu.frontend import detect_and_describe_jit
+    from visualslam_tpu.slam.two_view import two_view_from_features
+    from visualslam_tpu.slam.viz import draw_matches
+    from visualslam_tpu.utils.config import FAST_CONFIG
+    from visualslam_tpu.utils.images import load_gray
+
+    cfg = FAST_CONFIG.replace(frontend=args.frontend)
+    img1 = load_gray(args.image1)
+    img2 = load_gray(args.image2)
+    if args.fx:
+        intr = jnp.asarray([args.fx, args.fx,
+                            img1.shape[1] / 2, img1.shape[0] / 2])
+    else:  # plausible default focal: image width
+        intr = jnp.asarray([float(img1.shape[1]), float(img1.shape[1]),
+                            img1.shape[1] / 2, img1.shape[0] / 2])
+    fa = detect_and_describe_jit(jnp.asarray(img1), cfg)
+    fb = detect_and_describe_jit(jnp.asarray(img2), cfg)
+    res = two_view_from_features(fa, fb, intr, cfg)
+    n_m = int(res.matches.count())
+    n_i = int(res.num_inliers)
+    R = np.asarray(res.R)
+    t = np.asarray(res.t)
+    angle = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+    print(f"matches: {n_m}  epipolar+cheirality inliers: {n_i}")
+    print(f"relative rotation: {angle:.2f} deg | translation direction: "
+          f"{np.round(t / max(np.linalg.norm(t), 1e-9), 3).tolist()}")
+    draw_matches(img1, img2, fa, fb, res.matches, "two_view_matches.png")
+    print("wrote two_view_matches.png")
+
+
 def cmd_eval(args) -> None:
     from visualslam_tpu.io.serialization import load_kitti_poses
     from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses, rpe
@@ -168,6 +203,16 @@ def main(argv=None) -> None:
     r.add_argument("--batch", type=int, default=8,
                    help="frames per batched detection call (1 = per-frame)")
     r.set_defaults(fn=cmd_run)
+
+    tv = sub.add_parser("two-view",
+                        help="two-view reconstruction on an image pair")
+    tv.add_argument("image1")
+    tv.add_argument("image2")
+    tv.add_argument("--frontend", default="sift",
+                    choices=["sift", "orb", "harris"])
+    tv.add_argument("--fx", type=float, default=None,
+                    help="focal length in pixels (default: image width)")
+    tv.set_defaults(fn=cmd_two_view)
 
     e = sub.add_parser("eval", help="ATE/RPE between two pose files")
     e.add_argument("est")
