@@ -367,9 +367,22 @@ class Tracker:
             self.map.kf_t[s] = R_k @ tgi + t_k
         self._last_R = self.map.kf_R[slot].copy()
         self._last_t = self.map.kf_t[slot].copy()
-        # keep the database's stored pose for this keyframe in sync
-        lc.entries[db_idx].R = self._last_R.copy()
-        lc.entries[db_idx].t = self._last_t.copy()
+        # Propagate the correction into the whole keyframe database: each
+        # entry adopts its pose-graph-corrected pose, and its landmark
+        # snapshots move with the entry's own local correction (locally
+        # rigid deformation — the standard loop-correction propagation).
+        for k, e in enumerate(lc.entries):
+            if k >= len(lc.corrected):
+                break
+            R_new, t_new = lc.corrected[k]
+            Rni, tni = se3.inverse(jnp.asarray(R_new), jnp.asarray(t_new))
+            Rg_k, tg_k = se3.compose(Rni, tni, jnp.asarray(e.R),
+                                     jnp.asarray(e.t))
+            Rg_k = np.asarray(Rg_k)
+            tg_k = np.asarray(tg_k)
+            e.lm_world = e.lm_world @ Rg_k.T + tg_k
+            e.R = np.array(R_new, np.float32, copy=True)
+            e.t = np.array(t_new, np.float32, copy=True)
 
     # ------------------------------------------------------------------
 
