@@ -180,3 +180,35 @@ def test_loop_closer_unpacks_orb_bits(rng):
     assert e.desc.shape == (32, 256)       # unpacked bits
     assert set(np.unique(e.desc)) <= {0.0, 1.0}
     assert lc.match_cfg.metric == "l2"
+
+
+def test_tracking_loss_recovery(rng):
+    """Sustained tracking loss (garbage frames) triggers re-initialization;
+    tracking resumes once real frames return."""
+    scene = SyntheticScene(rng)
+    tracker = Tracker(CFG, INTR)
+    for k in range(6):
+        feats, _ = scene.features(k)
+        tracker.process_features(feats, k)
+
+    def garbage(k):
+        cap = scene.cap
+        desc = rng.standard_normal((cap, 64)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        kps = Keypoints.empty(cap)._replace(
+            yx=jnp.asarray(rng.uniform(10, 400, (cap, 2)).astype(np.float32)),
+            valid=jnp.ones(cap, bool))
+        return Features(kps, jnp.asarray(desc))
+
+    for k in range(6, 14):
+        tracker.process_features(garbage(k), k)
+    assert tracker.relocalizations >= 1, "never re-initialized"
+
+    # back to the real scene (scene jumped; mapping restarts from scratch)
+    ok_after = []
+    for k in range(14, 26):
+        feats, _ = scene.features(k)
+        res = tracker.process_features(feats, k)
+        ok_after.append(res.tracking_ok)
+    assert any(ok_after[3:]), "tracking never recovered after re-init"
+    assert tracker.map.lm_valid.sum() > 50, "map not rebuilt"

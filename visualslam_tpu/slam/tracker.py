@@ -85,6 +85,9 @@ class Tracker:
         self._last_R = np.eye(3, dtype=np.float32)
         self._last_t = np.zeros(3, np.float32)
         self._vel = np.zeros(6, np.float32)  # constant-velocity model (twist)
+        self._lost_streak = 0
+        self.relocalizations = 0
+        self.max_lost_frames = 5  # consecutive failures before re-init
 
         self._frontend = jax.jit(
             lambda im: detect_and_describe(im, cfg))
@@ -174,18 +177,33 @@ class Tracker:
         R, t, X, inl, n = self._ransac(x1, x2, m.valid, sub)
         n = int(n)
         if n < self.cfg.keyframe_min_inliers:
-            # not enough parallax yet; keep waiting
+            # not enough parallax/matches yet; keep waiting — but if the
+            # bootstrap frame itself is bad (sustained failure), re-anchor
+            # the bootstrap on the current frame
+            self._lost_streak += 1
+            if self._lost_streak > self.max_lost_frames:
+                self._reinitialize(feats, frame_id)
+                self._lost_streak = 0
+                self.relocalizations += 1
             return self._store_result(frame_id, self._last_R, self._last_t,
                                       num_matches=int(m.count()),
                                       num_inliers=n, tracking_ok=False)
+        self._lost_streak = 0
         # fix monocular scale: median depth of inliers -> init_depth
         X = np.asarray(X)
         inl_np = np.asarray(inl)
         depth = np.median(X[inl_np, 2])
         s = self.init_depth / max(depth, 1e-6)
-        X = X * s
-        t = np.asarray(t) * s
-        R = np.asarray(R)
+        X = X * s                       # points in the FIRST keyframe's frame
+        t_rel = np.asarray(t) * s
+        R_rel = np.asarray(R)
+        # compose with the first keyframe's (possibly non-identity after a
+        # re-initialization) world pose: T2 = T_rel . T_kf1, X_w = T_kf1^-1 X
+        R1 = self.map.kf_R[kf]
+        t1 = self.map.kf_t[kf]
+        R = R_rel @ R1
+        t = R_rel @ t1 + t_rel
+        X = (X - t1) @ R1
 
         # register landmarks + observations in both keyframes
         idx_a = np.asarray(m.idx_a)[inl_np]
@@ -242,6 +260,23 @@ class Tracker:
                              jnp.asarray(has_lm))
         n_inl = int(pr.num_inliers)
         ok = n_inl >= max(10, self.cfg.keyframe_min_inliers // 3)
+        if not ok:
+            # Failure recovery (SURVEY.md §5): after a sustained loss the
+            # map is unusable from here — drop it and re-bootstrap from the
+            # current frame (trajectory continues dead-reckoned through the
+            # gap; a fresh two-view init restarts mapping).
+            self._lost_streak += 1
+            if self._lost_streak > self.max_lost_frames:
+                self._reinitialize(feats, frame_id)
+                self._lost_streak = 0
+                self.relocalizations += 1
+                return self._store_result(frame_id, self._last_R,
+                                          self._last_t,
+                                          num_matches=int(mv.sum()),
+                                          num_inliers=0, is_keyframe=True,
+                                          tracking_ok=False)
+        else:
+            self._lost_streak = 0
         if ok:
             R, t = np.asarray(pr.R), np.asarray(pr.t)
             # update velocity model: vel = log(T_new T_old^-1)
@@ -267,6 +302,19 @@ class Tracker:
                                   tracking_ok=ok)
 
     # ------------------------------------------------------------------
+
+    def _reinitialize(self, feats, frame_id) -> None:
+        """Drop the map and re-bootstrap from the current frame at the last
+        known pose (keeps the trajectory frame; mapping restarts)."""
+        from visualslam_tpu.slam.map_state import SlamMap
+
+        feat_cap = (self.cfg.sift.max_keypoints
+                    if self.cfg.frontend == "sift"
+                    else self.cfg.orb.max_keypoints)
+        self.map = SlamMap(self.cfg.ba.max_cameras,
+                           self.cfg.ba.max_landmarks, feat_cap)
+        self._vel = np.zeros(6, np.float32)
+        self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
 
     def _make_keyframe_from_tracking(self, feats, frame_id, R, t, m,
                                      lm_of_match, pnp_inliers, x2_all):
