@@ -145,3 +145,136 @@ def _optimize_pose_graph_highp(g: PoseGraph, cfg: PoseGraphConfig) -> PoseGraphR
 
 
 optimize_pose_graph_jit = jax.jit(optimize_pose_graph, static_argnums=1)
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) pose graph — 7-DoF corrections for monocular scale drift
+# (Strasdat-style; absent in reference, SURVEY.md §2.3 north star).
+# Same design as the SE(3) graph above: autodiff edge Jacobians at the
+# identity perturbation, segment_sum block assembly, dense damped solve,
+# node 0 frozen as the 7-DoF gauge (fixes global pose AND scale).
+# ---------------------------------------------------------------------------
+
+from visualslam_tpu.geometry import sim3  # noqa: E402  (keep file top lean)
+
+
+class Sim3Graph(NamedTuple):
+    R: jnp.ndarray          # [N, 3, 3]
+    t: jnp.ndarray          # [N, 3]
+    s: jnp.ndarray          # [N] per-node scale
+    node_valid: jnp.ndarray  # [N]
+    i: jnp.ndarray          # [E] int32 source node
+    j: jnp.ndarray          # [E] int32 target node
+    Rm: jnp.ndarray         # [E, 3, 3] measured relative (j in i)
+    tm: jnp.ndarray         # [E, 3]
+    sm: jnp.ndarray         # [E] measured relative scale
+    weight: jnp.ndarray     # [E]
+    edge_valid: jnp.ndarray  # [E]
+
+
+class Sim3GraphResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    s: jnp.ndarray
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+
+
+def _sim3_edge_residual(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+    dRi, dti, dsi = sim3.sim3_exp(xi_i)
+    dRj, dtj, dsj = sim3.sim3_exp(xi_j)
+    Ri2, ti2, si2 = sim3.compose(dRi, dti, dsi, Ri, ti, si)
+    Rj2, tj2, sj2 = sim3.compose(dRj, dtj, dsj, Rj, tj, sj)
+    Rrel, trel, srel = sim3.relative(Ri2, ti2, si2, Rj2, tj2, sj2)
+    Rmi, tmi, smi = sim3.inverse(Rm, tm, sm)
+    Re, te, se = sim3.compose(Rmi, tmi, smi, Rrel, trel, srel)
+    return sim3.sim3_log(Re, te, se)
+
+
+def sim3_graph_cost(g: Sim3Graph, R, t, s) -> jnp.ndarray:
+    zero = jnp.zeros(7, R.dtype)
+
+    def one(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+        return _sim3_edge_residual(zero, zero, Ri, ti, si, Rj, tj, sj,
+                                   Rm, tm, sm)
+
+    r = jax.vmap(one)(R[g.i], t[g.i], s[g.i], R[g.j], t[g.j], s[g.j],
+                      g.Rm, g.tm, g.sm)
+    w = g.weight * g.edge_valid
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+def _sim3_gn_step(g: Sim3Graph, R, t, s, lam):
+    N = R.shape[0]
+    zero = jnp.zeros(7, R.dtype)
+
+    def one(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+        args = (zero, zero, Ri, ti, si, Rj, tj, sj, Rm, tm, sm)
+        r = _sim3_edge_residual(*args)
+        Ji = jax.jacfwd(_sim3_edge_residual, argnums=0)(*args)
+        Jj = jax.jacfwd(_sim3_edge_residual, argnums=1)(*args)
+        return r, Ji, Jj
+
+    r, Ji, Jj = jax.vmap(one)(R[g.i], t[g.i], s[g.i], R[g.j], t[g.j],
+                              s[g.j], g.Rm, g.tm, g.sm)   # [E,7],[E,7,7]x2
+    w = (g.weight * g.edge_valid)[:, None, None]
+    Jiw = Ji * w
+    Jjw = Jj * w
+
+    pairs = (g.i * N + g.i, g.i * N + g.j, g.j * N + g.i, g.j * N + g.j)
+    blocks = (
+        jnp.einsum("eai,eaj->eij", Jiw, Ji),
+        jnp.einsum("eai,eaj->eij", Jiw, Jj),
+        jnp.einsum("eai,eaj->eij", Jjw, Ji),
+        jnp.einsum("eai,eaj->eij", Jjw, Jj),
+    )
+    H = jnp.zeros((N * N, 7, 7), R.dtype)
+    for blk, pr in zip(blocks, pairs):
+        H = H + jax.ops.segment_sum(blk, pr, N * N)
+    H = H.reshape(N, N, 7, 7).transpose(0, 2, 1, 3).reshape(7 * N, 7 * N)
+
+    b = (-jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jiw, r), g.i, N)
+         - jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jjw, r), g.j, N))
+
+    frozen = ~g.node_valid | (jnp.arange(N) == 0)
+    free = (~frozen).astype(R.dtype)
+    m = jnp.repeat(free, 7)
+    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    H = H + lam * jnp.eye(7 * N, dtype=R.dtype)
+    dx = jnp.linalg.solve(H, b.reshape(-1) * m).reshape(N, 7)
+
+    dR, dt, ds = sim3.sim3_exp(dx)
+    return sim3.compose(dR, dt, ds, R, t, s)
+
+
+def optimize_sim3_graph(g: Sim3Graph, cfg: PoseGraphConfig) -> Sim3GraphResult:
+    """LM-damped GN on the Sim(3) graph (f32 matmul precision — MXU default
+    bf16 passes degrade geometric accuracy on TPU)."""
+    with jax.default_matmul_precision("float32"):
+        return _optimize_sim3_graph_highp(g, cfg)
+
+
+def _optimize_sim3_graph_highp(g: Sim3Graph, cfg: PoseGraphConfig):
+    R, t, s = g.R, g.t, g.s
+    lam = jnp.asarray(cfg.damping, R.dtype)
+    cost = sim3_graph_cost(g, R, t, s)
+    init = cost
+
+    def body(carry, _):
+        R, t, s, lam, cost = carry
+        Rn, tn, sn = _sim3_gn_step(g, R, t, s, lam)
+        cn = sim3_graph_cost(g, Rn, tn, sn)
+        acc = cn < cost
+        R2 = jnp.where(acc, Rn, R)
+        t2 = jnp.where(acc, tn, t)
+        s2 = jnp.where(acc, sn, s)
+        c2 = jnp.where(acc, cn, cost)
+        lam2 = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+        return (R2, t2, s2, lam2, c2), cn
+
+    (R, t, s, lam, cost), _ = jax.lax.scan(body, (R, t, s, lam, cost), None,
+                                           length=cfg.iters)
+    return Sim3GraphResult(R=R, t=t, s=s, cost=cost, initial_cost=init)
+
+
+optimize_sim3_graph_jit = jax.jit(optimize_sim3_graph, static_argnums=1)

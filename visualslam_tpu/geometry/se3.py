@@ -53,20 +53,30 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] rotation -> [..., 3] axis-angle (principal branch)."""
+    """[..., 3, 3] rotation -> [..., 3] axis-angle (principal branch).
+
+    Autodiff-safe at R = I: arccos is non-differentiable at cos = 1, so near
+    the identity the factor theta/(2 sin theta) is evaluated as a series in
+    u = 1 - cos(theta) (smooth in R), and arccos only ever sees safe inputs.
+    Edges with exact rotation measurements (e.g. pure scale drift in a Sim(3)
+    graph) hit this path inside jacfwd."""
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos)
+    u = 1.0 - cos                       # ~ theta^2 / 2, smooth at identity
+    small = u < 1e-6
+    cos_safe = jnp.where(small, 0.0, cos)
+    theta = jnp.arccos(cos_safe)        # only used where ~small
     w_vec = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], -1)
     s = jnp.sin(theta)
-    # theta/(2 sin theta), guarded near 0 (-> 1/2) ; near pi handled below
-    factor = jnp.where(s[..., None] < _EPS, 0.5 + theta[..., None] ** 2 / 12.0,
-                       theta[..., None] / jnp.where(s[..., None] < _EPS, 1.0,
-                                                    2.0 * s[..., None]))
+    # theta/(2 sin theta): series 1/2 + theta^2/12 + ... with theta^2 = 2u
+    factor_small = 0.5 + u[..., None] / 6.0
+    factor_large = theta[..., None] / jnp.where(
+        s[..., None] < _EPS, 1.0, 2.0 * s[..., None])
+    factor = jnp.where(small[..., None], factor_small, factor_large)
     w = factor * w_vec
     # near theta = pi the vector part vanishes; recover axis from diagonal
     near_pi = theta > jnp.pi - 1e-3
@@ -101,16 +111,20 @@ def se3_exp(xi: jnp.ndarray):
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Inverse of se3_exp -> [..., 6] twist."""
     w = log_so3(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
     W = hat(w)
     W2 = W @ W
-    t2 = theta * theta
-    # V^{-1} = I - W/2 + (1/t^2 - (1+cos)/(2 t sin)) W^2 (guarded)
+    # V^{-1} = I - W/2 + (1/t^2 - (1+cos)/(2 t sin)) W^2 (guarded).
+    # Branch on t^2 (smooth at w = 0) and only sqrt safe values so the
+    # Jacobian is NaN-free at the identity (same idiom as _exp_coeffs).
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = t2 < 1e-8
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
     s = jnp.sin(theta)
     coeff = jnp.where(
-        theta < _EPS, 1.0 / 12.0 + t2 / 720.0,
-        (1.0 / jnp.where(theta < _EPS, 1.0, t2))
-        - (1.0 + jnp.cos(theta)) / jnp.where(theta < _EPS, 1.0, 2.0 * theta * s))
+        small, 1.0 / 12.0 + t2 / 720.0,
+        1.0 / t2s
+        - (1.0 + jnp.cos(theta)) / jnp.where(small, 1.0, 2.0 * theta * s))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
     Vinv = eye - 0.5 * W + coeff * W2
     v = (Vinv @ t[..., None])[..., 0]
