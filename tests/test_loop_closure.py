@@ -94,6 +94,104 @@ def test_loop_detected_and_corrects(rng):
     assert err_end < 1.5, f"loop-corrected end error {err_end:.2f}m"
 
 
+def build_scale_drift_db(rng, use_sim3, n_kf=14, drift_total=1.5,
+                         n_points=600, sub=256):
+    """Keyframe database with monocular-style scale drift: keyframe k's
+    odometry pose and landmark snapshot are uniformly scaled by s_k
+    (s_0 = 1 growing to drift_total), while the PIXEL observations come from
+    the true geometry — projection is invariant to scaling both X and t, so
+    this is exactly what a scale-drifting monocular pipeline would store.
+    The last keyframe revisits the first view."""
+    from visualslam_tpu.slam.loop_closure import LoopCloser
+
+    X = rng.uniform([-15, -8, 10], [15, 8, 45], (n_points, 3))
+    desc = rng.standard_normal((n_points, 64)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    lc = LoopCloser(INTR, CFG.match, CFG.pose_graph, sub_keypoints=sub,
+                    cosine_threshold=0.7, exclude_recent=4, min_inliers=20,
+                    use_sim3=use_sim3)
+
+    half = n_kf // 2
+    gt_centers, drift_scales = [], []
+    cap = 512
+    for k in range(n_kf):
+        z = 1.0 * k if k <= half else 1.0 * (2 * half - k)
+        center = np.array([0.0, 0.0, z])
+        R = np.eye(3, dtype=np.float32)
+        t = (-R @ center).astype(np.float32)
+        s_k = drift_total ** (k / (n_kf - 1))
+        gt_centers.append(center)
+        drift_scales.append(s_k)
+
+        Xc = X @ R.T + t
+        zc = Xc[:, 2]
+        uv = Xc[:, :2] / np.maximum(zc[:, None], 1e-6)
+        px = uv * INTR[:2] + INTR[2:]
+        vis = (zc > 1.0) & (px[:, 0] >= 5) & (px[:, 0] < W - 5) \
+            & (px[:, 1] >= 5) & (px[:, 1] < H - 5)
+        idx = np.nonzero(vis)[0][:cap]
+        n = len(idx)
+        yx = np.zeros((cap, 2), np.float32)
+        yx[:n] = px[idx][:, ::-1] + rng.normal(0, 0.3, (n, 2))
+        d = np.zeros((cap, 64), np.float32)
+        d[:n] = desc[idx]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        resp = np.zeros(cap, np.float32)
+        resp[:n] = 1.0
+        kps = Keypoints.empty(cap)._replace(
+            yx=jnp.asarray(yx), valid=jnp.asarray(valid),
+            response=jnp.asarray(resp))
+        feats = Features(kps, jnp.asarray(d))
+        # drifted odometry pose + landmark snapshot (scaled world)
+        kp_lm = np.full(cap, -1)
+        kp_lm[:n] = idx
+        db_idx = lc.add_keyframe(k, R, np.float32(s_k) * t, feats, kp_lm,
+                                 (s_k * X).astype(np.float32))
+        lc.detect(db_idx)   # return-leg keyframes close against outbound
+    return lc, np.stack(gt_centers), np.asarray(drift_scales)
+
+
+def test_sim3_loop_corrects_scale_drift(rng):
+    lc, gt_centers, drift = build_scale_drift_db(rng, use_sim3=True)
+    assert len(lc.loop_edges) >= 2, "return leg should close several loops"
+    # measured relative scale of the final edge ~ drift ratio of its
+    # endpoints (sm = s_j_era / s_i_era)
+    e = lc.loop_edges[-1]
+    expect = drift[e.j] / drift[e.i]
+    assert abs(e.scale - expect) / expect < 0.1, (
+        f"edge scale {e.scale:.3f} vs drift ratio {expect:.3f}")
+
+    # uncorrected centers carry the full drift error
+    err_drift = np.array([
+        np.linalg.norm(-en.R.T @ en.t - g)
+        for en, g in zip(lc.entries, gt_centers)])
+    centers = lc.optimize()
+    err = np.linalg.norm(centers - gt_centers, axis=1)
+    assert err.max() < 0.5 * err_drift.max(), (
+        f"corrected {err.max():.2f}m vs uncorrected {err_drift.max():.2f}m")
+    # the revisit keyframe itself is pinned accurately
+    assert err[-1] < 0.4, f"end error {err[-1]:.2f}m"
+    # node scales recover the drift at the loop endpoints (node-0 gauge)
+    s = np.asarray(lc.corrected_scale)
+    np.testing.assert_allclose(s[-1], drift[-1], rtol=0.15)
+
+
+def test_se3_loop_cannot_fix_scale_drift(rng):
+    """Control: with the rigid SE(3) graph, the same drifted database keeps
+    a large residual error — scale drift is exactly what SE(3) can't
+    express (and why LoopConfig.sim3 defaults True)."""
+    lc_sim3, gt_centers, _ = build_scale_drift_db(rng, use_sim3=True)
+    c_sim3 = lc_sim3.optimize()
+    lc_se3, _, _ = build_scale_drift_db(rng, use_sim3=False)
+    c_se3 = lc_se3.optimize()
+    err_sim3 = np.linalg.norm(c_sim3 - gt_centers, axis=1)
+    err_se3 = np.linalg.norm(c_se3 - gt_centers, axis=1)
+    assert err_sim3.max() < 0.7 * err_se3.max(), (
+        f"sim3 {err_sim3.max():.2f}m should beat se3 {err_se3.max():.2f}m")
+
+
 def test_retrieval_gate_rejects_unrelated_scenes(rng):
     """Keyframes seeing disjoint landmark sets must not pass the
     global-descriptor gate (no loop candidates)."""

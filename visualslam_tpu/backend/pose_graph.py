@@ -186,7 +186,14 @@ def _sim3_edge_residual(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
     Ri2, ti2, si2 = sim3.compose(dRi, dti, dsi, Ri, ti, si)
     Rj2, tj2, sj2 = sim3.compose(dRj, dtj, dsj, Rj, tj, sj)
     Rrel, trel, srel = sim3.relative(Ri2, ti2, si2, Rj2, tj2, sj2)
-    Rmi, tmi, smi = sim3.inverse(Rm, tm, sm)
+    # De-conjugation: the measurement was taken in j's era, whose metric is
+    # s_j x the gauge metric, so its translation is inflated by s_j
+    # (Sim(3) translations are not invariant under scale conjugation:
+    # D (R,t,s) D^-1 = (R, s_j t, s) for D = (I,0,s_j)). Dividing by the
+    # CURRENT estimate of s_j — inside the residual, so it participates in
+    # the Jacobians — makes the edge exact at the consistent solution.
+    tm_eff = tm / sj2
+    Rmi, tmi, smi = sim3.inverse(Rm, tm_eff, sm)
     Re, te, se = sim3.compose(Rmi, tmi, smi, Rrel, trel, srel)
     return sim3.sim3_log(Re, te, se)
 

@@ -14,11 +14,17 @@ the tie-together global. Design (TPU-friendly, fixed shapes per call):
               motion-only LM yields the candidate camera's pose in the
               CURRENT world frame, metric scale included (this sidesteps the
               essential matrix's scale ambiguity for monocular loops).
-  correct     an SE(3) pose graph over the full keyframe history: odometry
-              edges between consecutive keyframes + accepted loop edges,
-              optimized with backend/pose_graph; the correction of the
-              latest keyframe is applied rigidly to the active window
-              (poses + landmarks).
+  correct     a pose graph over the full keyframe history: odometry edges
+              between consecutive keyframes + accepted loop edges, optimized
+              with backend/pose_graph; the correction of the latest keyframe
+              is applied to the active window (poses + landmarks).
+
+              Two graph flavors (LoopConfig.sim3): SE(3) (rigid, 6-DoF) and
+              Sim(3) (7-DoF, Strasdat-style) — monocular scale DRIFTS along
+              the trajectory, so a revisit generally disagrees in scale too;
+              the Sim(3) edge carries the relative scale measured from
+              matched landmark snapshots (median pairwise-distance ratio)
+              and the graph distributes the scale error over the loop.
 """
 
 from __future__ import annotations
@@ -31,8 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from visualslam_tpu.backend.pnp import refine_pose_jit
-from visualslam_tpu.backend.pose_graph import PoseGraph, optimize_pose_graph_jit
-from visualslam_tpu.geometry import se3
+from visualslam_tpu.backend.pose_graph import (
+    PoseGraph,
+    Sim3Graph,
+    optimize_pose_graph_jit,
+    optimize_sim3_graph_jit,
+)
+from visualslam_tpu.geometry import se3, sim3
 from visualslam_tpu.models.matching import match_features
 from visualslam_tpu.models.types import Features, Keypoints
 from visualslam_tpu.utils.config import MatchConfig, PoseGraphConfig
@@ -42,9 +53,10 @@ from visualslam_tpu.utils.config import MatchConfig, PoseGraphConfig
 class LoopEdge:
     i: int                  # earlier keyframe index (db order)
     j: int                  # later keyframe index
-    R: np.ndarray           # relative pose: T_ij (j in i's frame)
+    R: np.ndarray           # relative pose: T_i^-1 T_j (graph convention)
     t: np.ndarray
     num_inliers: int = 0
+    scale: float = 1.0      # relative scale of the measurement (Sim(3) sm)
 
 
 @dataclass
@@ -67,7 +79,8 @@ class LoopCloser:
                  sub_keypoints: int = 256,
                  cosine_threshold: float = 0.85,
                  min_inliers: int = 25,
-                 exclude_recent: int = 10):
+                 exclude_recent: int = 10,
+                 use_sim3: bool = False):
         self.intr = np.asarray(intrinsics, np.float32)
         # entries always store float descriptors (ORB bits get unpacked to
         # {0,1} floats, where L2 == 2x Hamming), so match on L2 regardless
@@ -79,10 +92,17 @@ class LoopCloser:
         self.cos_thresh = cosine_threshold
         self.min_inliers = min_inliers
         self.exclude = exclude_recent
+        self.use_sim3 = use_sim3
         self.entries: List[KeyframeEntry] = []
         self.loop_edges: List[LoopEdge] = []
-        # optimized poses (filled by optimize); None until first loop
+        # optimized poses (filled by optimize); None until first loop.
+        # corrected: de-scaled SE(3) (R, t) per entry;
+        # corrected_scale: per-entry Sim(3) node scale (1.0 in SE(3) mode);
+        # last_corrections: per-entry world-side Sim(3) (Rg, tg, sg) mapping
+        # pre-correction world points to post-correction world points.
         self.corrected: Optional[list] = None
+        self.corrected_scale: Optional[list] = None
+        self.last_corrections: Optional[list] = None
 
     # ------------------------------------------------------------------
 
@@ -178,26 +198,59 @@ class LoopCloser:
         n_inl = int(pr.num_inliers)
         if n_inl < self.min_inliers:
             return None
-        # candidate pose in current world frame
+        # candidate camera i's pose in the CURRENT world frame (PnP against
+        # j's landmarks -> current metric)
         Rb = np.asarray(pr.R)
         tb = np.asarray(pr.t)
-        # loop edge: T_ij = T_i(world_cur) . T_j^-1 ... pose of j in i frame:
-        # T_i = (Rb, tb) maps world->cam_i; T_j = (a.R, a.t) world->cam_j
-        # relative (i frame): T_ij = T_i . T_j^-1
-        Rji, tji = se3.inverse(jnp.asarray(a.R), jnp.asarray(a.t))
-        Rrel, trel = se3.compose(jnp.asarray(Rb), jnp.asarray(tb), Rji, tji)
-        # store as pose of j expressed in i: T_ij = (T_i T_j^-1)^-1
-        Rij, tij = se3.inverse(Rrel, trel)
-        return LoopEdge(i=i, j=j, R=np.asarray(Rij), t=np.asarray(tij),
-                        num_inliers=n_inl)
+
+        # Relative scale of i's era vs the current map: matched landmark
+        # pairs seen with 3D in BOTH keyframes give the same physical
+        # structure in both metrics; the median pairwise-distance ratio is a
+        # robust estimate of s_oc = (old units) / (current units). Restrict
+        # to PnP inliers so mismatches can't poison the median.
+        inl = np.asarray(pr.inliers)
+        s_oc = 1.0
+        if self.use_sim3:
+            both = inl & a.has_lm[ia] & b.has_lm[ib]
+            Xa = a.lm_world[ia[both]]
+            Xb = b.lm_world[ib[both]]
+            if Xa.shape[0] >= 6:
+                n = min(Xa.shape[0], 64)
+                da = np.linalg.norm(Xa[:n, None] - Xa[None, :n], axis=-1)
+                db = np.linalg.norm(Xb[:n, None] - Xb[None, :n], axis=-1)
+                iu = np.triu_indices(n, 1)
+                da, db = da[iu], db[iu]
+                ok = (da > 1e-6) & (db > 1e-6)
+                if ok.sum() >= 10:
+                    s_oc = float(np.median(db[ok] / da[ok]))
+                    s_oc = float(np.clip(s_oc, 0.2, 5.0))
+
+        # Graph convention (backend/pose_graph): measurement = T_i^-1 T_j
+        # evaluated at consistent poses. In the current metric,
+        # S_i = (Rb, s_oc*tb, s_oc) maps current world -> cam_i in i's OLD
+        # units; S_j = (a.R, a.t, 1). Sm = S_i^-1 S_j (relative scale
+        # 1/s_oc). In SE(3) mode s_oc == 1 and this reduces to T_i^-1 T_j.
+        one = jnp.ones((), jnp.float32)
+        s_i = jnp.asarray(np.float32(s_oc))
+        Rm, tm, sm = sim3.relative(
+            jnp.asarray(Rb), s_i * jnp.asarray(tb), s_i,
+            jnp.asarray(a.R), jnp.asarray(a.t), one)
+        return LoopEdge(i=i, j=j, R=np.asarray(Rm), t=np.asarray(tm),
+                        num_inliers=n_inl, scale=float(sm))
 
     # ------------------------------------------------------------------
 
-    def optimize(self) -> Optional[np.ndarray]:
-        """Pose-graph optimization over the full keyframe history.
+    def optimize(self, propagate: bool = True) -> Optional[np.ndarray]:
+        """Pose-graph optimization over the full keyframe history (SE(3) or
+        Sim(3), per use_sim3).
 
-        Returns corrected camera-to-world centers [N, 3] (and caches full
-        corrected poses in self.corrected) or None if too small."""
+        Caches de-scaled corrected SE(3) poses in self.corrected, node
+        scales in self.corrected_scale, and per-entry world-side Sim(3)
+        corrections in self.last_corrections. When `propagate`, every
+        database entry adopts its corrected pose and its landmark snapshot
+        moves with the entry's own correction (locally rigid/similar
+        deformation — keeps the database fresh for future verifications).
+        Returns corrected camera-to-world centers [N, 3] or None."""
         n = len(self.entries)
         if n < 3:
             return None
@@ -209,7 +262,7 @@ class LoopCloser:
         R0 = np.stack([e.R for e in self.entries])
         t0 = np.stack([e.t for e in self.entries])
 
-        ii, jj, Rm, tm, w = [], [], [], [], []
+        ii, jj, Rm, tm, sm, w = [], [], [], [], [], []
         for k in range(n - 1):
             Rr, tr = se3.relative(jnp.asarray(R0[k]), jnp.asarray(t0[k]),
                                   jnp.asarray(R0[k + 1]),
@@ -218,12 +271,14 @@ class LoopCloser:
             jj.append(k + 1)
             Rm.append(np.asarray(Rr))
             tm.append(np.asarray(tr))
+            sm.append(1.0)
             w.append(1.0)
         for e in self.loop_edges:
             ii.append(e.i)
             jj.append(e.j)
             Rm.append(e.R)
             tm.append(e.t)
+            sm.append(e.scale)
             w.append(2.0)
         ne = len(ii)
         if ne > E:
@@ -234,24 +289,62 @@ class LoopCloser:
             out[: len(a)] = np.asarray(a)
             return out
 
-        g = PoseGraph(
-            R=jnp.asarray(pad(R0, N, (3, 3))
-                          + np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
-                          * (np.arange(N) >= n)[:, None, None]),
-            t=jnp.asarray(pad(t0, N, (3,))),
+        eye_fill_N = (np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+                      * (np.arange(N) >= n)[:, None, None])
+        eye_fill_E = (np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+                      * (np.arange(E) >= ne)[:, None, None])
+        common = dict(
             node_valid=jnp.asarray(np.arange(N) < n),
             i=jnp.asarray(pad(ii, E, ()).astype(np.int32)),
             j=jnp.asarray(pad(jj, E, ()).astype(np.int32)),
-            Rm=jnp.asarray(pad(Rm, E, (3, 3))
-                           + np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
-                           * (np.arange(E) >= ne)[:, None, None]),
+            Rm=jnp.asarray(pad(Rm, E, (3, 3)) + eye_fill_E),
             tm=jnp.asarray(pad(tm, E, (3,))),
             weight=jnp.asarray(pad(w, E, ())),
             edge_valid=jnp.asarray(np.arange(E) < ne),
         )
-        res = optimize_pose_graph_jit(g, self.pg_cfg)
+        R_in = jnp.asarray(pad(R0, N, (3, 3)) + eye_fill_N)
+        t_in = jnp.asarray(pad(t0, N, (3,)))
+
+        if self.use_sim3:
+            g = Sim3Graph(
+                R=R_in, t=t_in, s=jnp.ones(N, jnp.float32),
+                sm=jnp.asarray(np.where(np.arange(E) < ne,
+                                        pad(sm, E, ()), 1.0)
+                               .astype(np.float32)),
+                **common)
+            res = optimize_sim3_graph_jit(g, self.pg_cfg)
+            scales = np.asarray(res.s[:n])
+        else:
+            g = PoseGraph(R=R_in, t=t_in, **common)
+            res = optimize_pose_graph_jit(g, self.pg_cfg)
+            scales = np.ones(n, np.float32)
+
         Rn = np.asarray(res.R[:n])
         tn = np.asarray(res.t[:n])
-        self.corrected = [(Rn[k], tn[k]) for k in range(n)]
-        centers = np.stack([-Rn[k].T @ tn[k] for k in range(n)])
+        # de-scaled SE(3): x_cam_metric = (1/s)(s R X + t) = R X + t/s
+        self.corrected = [(Rn[k], tn[k] / scales[k]) for k in range(n)]
+        self.corrected_scale = list(scales)
+
+        # world-side correction per entry: G_k = S_new_k^-1 . S_old_k maps
+        # pre-correction world points near keyframe k to corrected world
+        # (S_old has unit scale; S_new = (Rn, tn, s)).
+        self.last_corrections = []
+        for k in range(n):
+            Sni = sim3.inverse(jnp.asarray(Rn[k]), jnp.asarray(tn[k]),
+                               jnp.asarray(np.float32(scales[k])))
+            Rg, tg, sg = sim3.compose(*Sni, jnp.asarray(R0[k]),
+                                      jnp.asarray(t0[k]),
+                                      jnp.ones((), jnp.float32))
+            self.last_corrections.append(
+                (np.asarray(Rg), np.asarray(tg), float(sg)))
+
+        if propagate:
+            for k, e in enumerate(self.entries):
+                Rg, tg, sg = self.last_corrections[k]
+                e.lm_world = sg * (e.lm_world @ Rg.T) + tg
+                Rk, tk = self.corrected[k]
+                e.R = np.array(Rk, np.float32, copy=True)
+                e.t = np.array(tk, np.float32, copy=True)
+
+        centers = np.stack([-Rn[k].T @ tn[k] / scales[k] for k in range(n)])
         return centers

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from visualslam_tpu.backend.ba import BAProblem, run_ba_jit
 from visualslam_tpu.backend.pnp import refine_pose_jit
 from visualslam_tpu.frontend import detect_and_describe
-from visualslam_tpu.geometry import se3
+from visualslam_tpu.geometry import se3, sim3
 from visualslam_tpu.geometry.camera import normalized
 from visualslam_tpu.geometry.epipolar import triangulate
 from visualslam_tpu.geometry.ransac import estimate_relative_pose
@@ -74,7 +74,8 @@ class Tracker:
                 sub_keypoints=cfg.loop.sub_keypoints,
                 cosine_threshold=cfg.loop.cosine_threshold,
                 min_inliers=cfg.loop.min_inliers,
-                exclude_recent=cfg.loop.exclude_recent)
+                exclude_recent=cfg.loop.exclude_recent,
+                use_sim3=cfg.loop.sim3)
         self.num_loop_closures = 0
         feat_cap = (cfg.sift.max_keypoints if cfg.frontend == "sift"
                     else cfg.orb.max_keypoints)
@@ -385,52 +386,33 @@ class Tracker:
                 self._apply_loop_correction(slot, idx)
 
     def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
-        """Rigidly move the active window (poses + landmarks) so the latest
-        keyframe matches its pose-graph-corrected pose.
+        """Move the active window (poses + landmarks) so the latest keyframe
+        matches its pose-graph-corrected pose.
 
-        World transform G = T_corr^-1 . T_old applied to landmarks
-        (X' = G X); window poses become T . G^-1, which maps the last
-        keyframe exactly onto T_corr."""
+        The loop closer provides the world-side Sim(3) correction
+        G = S_corr^-1 . S_old of the latest keyframe (sg == 1 in SE(3)
+        mode). Landmarks: X' = G X; window poses T' = descale(S_T . G^-1),
+        which maps the last keyframe exactly onto its corrected pose while
+        preserving each camera's view of the (corrected) landmarks.
+        Database entries were already propagated inside optimize()."""
         lc = self.loop_closer
-        if lc.corrected is None:
+        if lc.last_corrections is None or db_idx >= len(lc.last_corrections):
             return
-        R_old = self.map.kf_R[slot].copy()
-        t_old = self.map.kf_t[slot].copy()
-        R_new, t_new = lc.corrected[db_idx]
-        Rci, tci = se3.inverse(jnp.asarray(R_new), jnp.asarray(t_new))
-        Rg, tg = se3.compose(Rci, tci, jnp.asarray(R_old), jnp.asarray(t_old))
-        Rg = np.asarray(Rg)
-        tg = np.asarray(tg)
-        Rgi, tgi = se3.inverse(jnp.asarray(Rg), jnp.asarray(tg))
-        Rgi = np.asarray(Rgi)
-        tgi = np.asarray(tgi)
-        # landmarks: X' = G X
+        Rg, tg, sg = lc.last_corrections[db_idx]
+        Rgi, tgi, sgi = (np.asarray(a) for a in sim3.inverse(
+            jnp.asarray(Rg), jnp.asarray(tg), jnp.asarray(np.float32(sg))))
+        sgi = float(sgi)
+        # landmarks: X' = G X = sg Rg X + tg
         live = self.map.lm_valid
-        self.map.X[live] = self.map.X[live] @ Rg.T + tg
-        # window poses: T' = T . G^-1
+        self.map.X[live] = sg * (self.map.X[live] @ Rg.T) + tg
+        # window poses: S' = (R_k, t_k, 1) . G^-1, then de-scale (R', t'/s')
         for s in self.map.kf_order:
             R_k = self.map.kf_R[s]
             t_k = self.map.kf_t[s]
             self.map.kf_R[s] = R_k @ Rgi
-            self.map.kf_t[s] = R_k @ tgi + t_k
+            self.map.kf_t[s] = (R_k @ tgi + t_k) / sgi
         self._last_R = self.map.kf_R[slot].copy()
         self._last_t = self.map.kf_t[slot].copy()
-        # Propagate the correction into the whole keyframe database: each
-        # entry adopts its pose-graph-corrected pose, and its landmark
-        # snapshots move with the entry's own local correction (locally
-        # rigid deformation — the standard loop-correction propagation).
-        for k, e in enumerate(lc.entries):
-            if k >= len(lc.corrected):
-                break
-            R_new, t_new = lc.corrected[k]
-            Rni, tni = se3.inverse(jnp.asarray(R_new), jnp.asarray(t_new))
-            Rg_k, tg_k = se3.compose(Rni, tni, jnp.asarray(e.R),
-                                     jnp.asarray(e.t))
-            Rg_k = np.asarray(Rg_k)
-            tg_k = np.asarray(tg_k)
-            e.lm_world = e.lm_world @ Rg_k.T + tg_k
-            e.R = np.array(R_new, np.float32, copy=True)
-            e.t = np.array(t_new, np.float32, copy=True)
 
     # ------------------------------------------------------------------
 
