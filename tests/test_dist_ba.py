@@ -36,7 +36,7 @@ def test_sharded_matches_single(rng):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(dist.t), np.asarray(single.t),
                                atol=5e-3)
-    X_d = np.asarray(unshard_points(dist.X))
+    X_d = np.asarray(unshard_points(dist.X, sp.lm_order))
     np.testing.assert_allclose(X_d, np.asarray(single.X), atol=2e-2)
     # and near ground truth
     for c in range(5):
@@ -55,6 +55,61 @@ def test_shard_problem_roundtrip(rng):
     # local lm_idx within range
     li = np.asarray(sp.lm_idx)
     assert li.min() >= 0 and li.max() < 20
+    # packing permutation restores the original landmark order
+    X_rt = np.asarray(unshard_points(sp.X, sp.lm_order))
+    np.testing.assert_allclose(X_rt, np.asarray(p.X))
+
+
+def test_balanced_partition_shrinks_padding(rng):
+    """Skewed observation counts: the block partition pays max-shard
+    padding; the balanced (LPT) partition equalizes per-shard loads."""
+    import jax.numpy as jnp
+    from visualslam_tpu.backend.ba import BAProblem
+
+    n_cams, L, n_shards = 4, 64, 8
+    # landmark k gets k%8==0 -> 16 observations, else 1 (heavy head, and the
+    # heavy landmarks all fall in the SAME index block)
+    cam_idx, lm_idx = [], []
+    for k in range(L):
+        reps = 16 if k < 8 else 1
+        for r in range(reps):
+            cam_idx.append(r % n_cams)
+            lm_idx.append(k)
+    O = len(lm_idx)
+    p = BAProblem(
+        R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_cams, 1, 1)),
+        t=jnp.zeros((n_cams, 3), jnp.float32),
+        X=jnp.asarray(rng.normal(0, 1, (L, 3)).astype(np.float32)),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        lm_idx=jnp.asarray(lm_idx, jnp.int32),
+        uv=jnp.zeros((O, 2), jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        cam_valid=jnp.ones(n_cams, bool),
+        lm_valid=jnp.ones(L, bool))
+
+    sp_block = shard_problem(p, n_shards, partition="block")
+    sp_bal = shard_problem(p, n_shards, partition="balanced")
+    # block: shard 0 holds all 8 heavy landmarks -> O_s = 8*16 + 0
+    # balanced: one heavy landmark per shard -> O_s = 16 + 7
+    assert sp_block.obs_valid.shape[1] == 8 * 16
+    assert sp_bal.obs_valid.shape[1] == 16 + 7
+    # same total work, same observations
+    assert (int(np.asarray(sp_bal.obs_valid).sum())
+            == int(np.asarray(sp_block.obs_valid).sum()) == O)
+
+
+def test_balanced_matches_block_result(rng):
+    p, *_ = make_ba_problem(rng, n_cams=5, n_lms=320)
+    cfg = BAConfig(iters=6)
+    mesh = make_mesh(8, axis="shard")
+    r_block = run_ba_sharded(shard_problem(p, 8, partition="block"),
+                             cfg, mesh)
+    r_bal = run_ba_sharded(shard_problem(p, 8, partition="balanced"),
+                           cfg, mesh)
+    np.testing.assert_allclose(np.asarray(r_block.R), np.asarray(r_bal.R),
+                               atol=5e-4)
+    np.testing.assert_allclose(float(r_block.cost), float(r_bal.cost),
+                               rtol=1e-3, atol=1e-10)
 
 
 def test_ring_allreduce_matches_psum(rng):

@@ -43,7 +43,9 @@ class ShardedBAProblem(NamedTuple):
     """Host-side container: leading axis = shard. Shapes:
     R [C,3,3], t [C,3], cam_valid [C] (replicated);
     X [n, L_s, 3], lm_valid [n, L_s];
-    cam_idx/lm_idx/uv/obs_valid [n, O_s] (lm_idx LOCAL to the shard)."""
+    cam_idx/lm_idx/uv/obs_valid [n, O_s] (lm_idx LOCAL to the shard);
+    lm_order [L] host-side: original landmark index of each packed slot
+    (identity for the block partition) — use with unshard_points."""
 
     R: jnp.ndarray
     t: jnp.ndarray
@@ -54,19 +56,64 @@ class ShardedBAProblem(NamedTuple):
     lm_idx: jnp.ndarray
     uv: jnp.ndarray
     obs_valid: jnp.ndarray
+    lm_order: np.ndarray
 
 
-def shard_problem(p: BAProblem, n_shards: int) -> ShardedBAProblem:
+def _partition_landmarks(p: BAProblem, n_shards: int, Ls: int,
+                         partition: str) -> np.ndarray:
+    """Returns lm_order [L]: original landmark index for each packed slot
+    (slot s*Ls + k lives on shard s)."""
+    L = p.X.shape[0]
+    if partition == "block":
+        return np.arange(L)
+    if partition != "balanced":
+        raise ValueError(f"unknown partition {partition!r}")
+
+    # Balanced (covisibility-load-aware) partition: per-shard observation
+    # counts determine the padded O_s = max_s count, i.e. every shard pays
+    # for the heaviest one. Greedy LPT bin-packing of landmarks by their
+    # observation count (heaviest first, onto the lightest non-full shard)
+    # keeps loads near-equal, shrinking padding vs. the index-block
+    # partition when counts are skewed. Cameras are replicated, so the
+    # partition affects load balance only — never communication volume
+    # (one psum'd reduced system per iteration regardless).
+    lm = np.asarray(p.lm_idx)
+    ov = np.asarray(p.obs_valid)
+    counts = np.bincount(lm[ov], minlength=L)
+    order = np.argsort(-counts, kind="stable")
+    load = np.zeros(n_shards, np.int64)
+    fill = np.zeros(n_shards, np.int64)
+    slots = np.empty(L, np.int64)
+    for li in order:
+        open_shards = np.nonzero(fill < Ls)[0]
+        s = open_shards[np.argmin(load[open_shards])]
+        slots[li] = s * Ls + fill[s]
+        load[s] += counts[li]
+        fill[s] += 1
+    lm_order = np.empty(L, np.int64)
+    lm_order[slots] = np.arange(L)
+    return lm_order
+
+
+def shard_problem(p: BAProblem, n_shards: int,
+                  partition: str = "balanced") -> ShardedBAProblem:
     """Host-side partition of a BAProblem into n landmark shards.
 
-    Landmarks are block-partitioned; observations follow their landmark and
-    are padded to the max per-shard count. Requires L % n_shards == 0."""
+    Observations follow their landmark and are padded to the max per-shard
+    count. partition: "balanced" (default; greedy observation-load
+    balancing, see _partition_landmarks) or "block" (index blocks).
+    Requires L % n_shards == 0."""
     L = p.X.shape[0]
     assert L % n_shards == 0, f"L={L} not divisible by {n_shards}"
     Ls = L // n_shards
+    lm_order = _partition_landmarks(p, n_shards, Ls, partition)
+    slot_of = np.empty(L, np.int64)      # original lm index -> packed slot
+    slot_of[lm_order] = np.arange(L)
+
     lm = np.asarray(p.lm_idx)
     ov = np.asarray(p.obs_valid)
-    shard_of = lm // Ls
+    lm_slot = slot_of[lm]
+    shard_of = lm_slot // Ls
 
     per = []
     for s in range(n_shards):
@@ -81,25 +128,36 @@ def shard_problem(p: BAProblem, n_shards: int) -> ShardedBAProblem:
         return out
 
     cam_idx = pad_gather(np.asarray(p.cam_idx), per)
-    lm_local = pad_gather(lm, per) % Ls
+    lm_local = pad_gather(lm_slot, per) % Ls
     uv = pad_gather(np.asarray(p.uv), per)
     valid = np.zeros((n_shards, O_s), bool)
     for s, sel in enumerate(per):
         valid[s, : len(sel)] = True
 
+    X_np = np.asarray(p.X)[lm_order]
+    lmv_np = np.asarray(p.lm_valid)[lm_order]
     return ShardedBAProblem(
         R=p.R, t=p.t, cam_valid=p.cam_valid,
-        X=p.X.reshape(n_shards, Ls, 3),
-        lm_valid=p.lm_valid.reshape(n_shards, Ls),
+        X=jnp.asarray(X_np.reshape(n_shards, Ls, 3)),
+        lm_valid=jnp.asarray(lmv_np.reshape(n_shards, Ls)),
         cam_idx=jnp.asarray(cam_idx),
-        lm_idx=jnp.asarray(lm_local),
+        lm_idx=jnp.asarray(lm_local.astype(np.int32)),
         uv=jnp.asarray(uv),
         obs_valid=jnp.asarray(valid),
+        lm_order=lm_order,
     )
 
 
-def unshard_points(X_sharded: jnp.ndarray) -> jnp.ndarray:
-    return X_sharded.reshape(-1, 3)
+def unshard_points(X_sharded: jnp.ndarray,
+                   lm_order: np.ndarray | None = None) -> jnp.ndarray:
+    """Inverse of the shard packing: [n, L_s, 3] -> [L, 3] in the ORIGINAL
+    landmark order (pass sp.lm_order for non-block partitions)."""
+    X = X_sharded.reshape(-1, 3)
+    if lm_order is None:
+        return X
+    inv = np.empty(len(lm_order), np.int64)
+    inv[lm_order] = np.arange(len(lm_order))
+    return X[jnp.asarray(inv)]
 
 
 def run_ba_sharded(sp: ShardedBAProblem, cfg: BAConfig, mesh: Mesh,
