@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 30.0
-BATCH = 8
+BATCH = 16
 N_BATCH_BUFFERS = 4
 ITERS = 12
 READBACK_S = 0.028  # measured single-roundtrip latency floor

@@ -144,3 +144,32 @@ def test_rotate_image_quarter_turns(rng):
     # rotating back restores (interior; border clamped)
     back = np.asarray(rotate_image(jnp.asarray(r90), -90.0))
     np.testing.assert_allclose(back[4:-4, 4:-4], img[4:-4, 4:-4], atol=1e-4)
+
+
+def test_sample_bilinear_patches_matches_scattered(rng):
+    """The patch-crop + tent-matmul sampler (TPU-fast path) must agree
+    exactly with the scattered 4-corner bilinear gather for interior
+    keypoints (the descriptor path's regime)."""
+    from visualslam_tpu.ops.patches import (
+        rotated_grid,
+        sample_bilinear_patches,
+        sample_bilinear_stack,
+    )
+
+    L, H, W, K, S = 3, 96, 128, 64, 16
+    stack = jnp.asarray(rng.random((L, H, W, 2), dtype=np.float32))
+    yx = jnp.asarray(rng.uniform(20, 70, (K, 2)).astype(np.float32))
+    ang = jnp.asarray(rng.uniform(0, 360, K).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, L, K).astype(np.int32))
+    coords = rotated_grid(yx, ang, S, 1.0)
+
+    ref = np.asarray(sample_bilinear_stack(stack, lvl, coords))
+    out = np.asarray(sample_bilinear_patches(stack, lvl, yx, coords,
+                                             patch=28))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+    # channel-less variant
+    ref1 = np.asarray(sample_bilinear_stack(stack[..., 0], lvl, coords))
+    out1 = np.asarray(sample_bilinear_patches(stack[..., 0], lvl, yx,
+                                              coords, patch=28))
+    np.testing.assert_allclose(out1, ref1, atol=2e-6)

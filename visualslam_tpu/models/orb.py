@@ -29,7 +29,11 @@ from visualslam_tpu.ops.fast import fast_score_map
 from visualslam_tpu.ops.gradients import central_diff
 from visualslam_tpu.ops.harris import harris_response
 from visualslam_tpu.ops.nms import window_peaks
-from visualslam_tpu.ops.patches import extract_patches, sample_bilinear
+from visualslam_tpu.ops.patches import (
+    extract_patches,
+    sample_bilinear,
+    sample_bilinear_patches,
+)
 from visualslam_tpu.utils.config import OrbConfig
 from visualslam_tpu.utils.masked import block_top_k_select, top_k_select
 
@@ -93,7 +97,17 @@ def _describe_level(img: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray,
     rdy = s[:, None, None] * dx + c[:, None, None] * dy
     coords = (jnp.stack([rdy, rdx], -1)
               + yx[:, None, None, :])                          # [K, P, 2, 2]
-    vals = sample_bilinear(smoothed, coords)                   # [K, P, 2]
+    # patch-crop + MXU tent-matmul sampling (TPU-fast; see
+    # ops/patches.sample_bilinear_patches). patch=44 covers the rotated
+    # BRIEF offsets: |offset| <= (patch_size//2 - 1) * sqrt(2) + 0.5.
+    # Tiny top-of-pyramid levels fall back to the scattered gather.
+    H, W = smoothed.shape
+    if min(H, W) >= 44:
+        lvl0 = jnp.zeros(yx.shape[0], jnp.int32)
+        vals = sample_bilinear_patches(smoothed[None], lvl0, yx, coords,
+                                       patch=44)               # [K, P, 2]
+    else:
+        vals = sample_bilinear(smoothed, coords)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)    # [K, P]
     K, P = bits.shape
     words = bits.reshape(K, P // 32, 32)

@@ -95,6 +95,57 @@ def sample_bilinear_stack(stack: jnp.ndarray, level_idx: jnp.ndarray,
             + wy * (1 - wx) * v10 + wy * wx * v11)
 
 
+def sample_bilinear_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
+                            center_yx: jnp.ndarray, coords: jnp.ndarray,
+                            patch: int) -> jnp.ndarray:
+    """Bilinear sample like sample_bilinear_stack, but TPU-fast: crop one
+    contiguous [patch, patch] window per keypoint (dynamic_slice — a block
+    transfer, not a scattered gather), then interpolate INSIDE the patch
+    with two tent-weight matmuls on the MXU. ~3x faster than the scattered
+    4-corner gather at SIFT shapes (512 kps x 256 samples, 376x1248 level).
+
+    stack: [L, H, W] or [L, H, W, C]; level_idx: [K]; center_yx: [K, 2]
+    patch centers; coords: [K, ..., 2] absolute (y, x) sample positions —
+    every sample must fall within patch/2 - 1 px of its center (true for
+    rotated descriptor grids: radius win/2*sqrt(2) + 0.5 < patch/2 - 1).
+    Exact bilinear in the interior; windows clamp at image borders (same
+    policy as extract_patches).
+    """
+    L, H, W = stack.shape[:3]
+    K = center_yx.shape[0]
+    channels = stack.ndim == 4
+    if not channels:
+        stack = stack[..., None]
+    C = stack.shape[-1]
+    r = patch // 2
+    y0 = jnp.clip(jnp.round(center_yx[:, 0]).astype(jnp.int32) - r, 0, H - patch)
+    x0 = jnp.clip(jnp.round(center_yx[:, 1]).astype(jnp.int32) - r, 0, W - patch)
+
+    def crop(lvl, y, x):
+        return jax.lax.dynamic_slice(stack, (lvl, y, x, 0),
+                                     (1, patch, patch, C))[0]
+
+    patches = jax.vmap(crop)(level_idx, y0, x0)          # [K, P, P, C]
+
+    shape = coords.shape[1:-1]
+    py = jnp.clip(coords[..., 0].reshape(K, -1)
+                  - y0[:, None].astype(coords.dtype), 0.0, patch - 1.0)
+    px = jnp.clip(coords[..., 1].reshape(K, -1)
+                  - x0[:, None].astype(coords.dtype), 0.0, patch - 1.0)
+    taps = jnp.arange(patch, dtype=coords.dtype)
+    # tent rows have exactly the two bilinear weights per sample
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - taps))  # [K, N, P]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - taps))
+    # HIGHEST precision: bf16 MXU passes would quantize the interpolation
+    # weights (~1e-2 error); exact bilinear needs full f32 accumulation
+    t = jnp.einsum("kni,kijc->knjc", wy, patches,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("knjc,knj->knc", t, wx,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape((K,) + shape + (C,))
+    return out if channels else out[..., 0]
+
+
 def rotated_grid(yx: jnp.ndarray, angle_deg: jnp.ndarray, size: int,
                  step: jnp.ndarray | float = 1.0) -> jnp.ndarray:
     """Sampling coords of a size x size window rotated by angle about yx.
