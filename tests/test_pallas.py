@@ -34,7 +34,7 @@ def test_pyramid_pallas_mode_matches_absolute(rng):
     ss_p = build_pyramid(img, PyramidConfig(num_octaves=2,
                                             blur_mode="pallas"))
     ss_a = build_pyramid(img, PyramidConfig(num_octaves=2,
-                                            blur_mode="absolute"))
+                                            blur_mode="conv"))
     for o in range(2):
         np.testing.assert_allclose(np.asarray(ss_p.gauss[o]),
                                    np.asarray(ss_a.gauss[o]), atol=3e-5)

@@ -30,7 +30,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from visualslam_tpu.ops.blur import blur_stack, incremental_blur_stack
+from visualslam_tpu.ops.blur import (
+    blur_stack,
+    blur_stack_matmul,
+    incremental_blur_stack,
+)
 from visualslam_tpu.ops.gradients import gradients
 from visualslam_tpu.ops.resize import downsample2x_nearest, upsample2x_linear
 from visualslam_tpu.utils.config import PyramidConfig
@@ -97,8 +101,10 @@ def build_pyramid(img: jnp.ndarray, cfg: PyramidConfig) -> ScaleSpace:
             b, tuple(s), truncate)
     elif cfg.blur_mode == "incremental":
         blur_fn = incremental_blur_stack
-    else:
+    elif cfg.blur_mode == "conv":
         blur_fn = blur_stack
+    else:  # "matmul" (default): banded-Toeplitz einsums on the MXU
+        blur_fn = blur_stack_matmul
     gauss, dog, gx, gy, gm, go = [], [], [], [], [], []
     for _ in range(cfg.num_octaves):
         stack = blur_fn(base, sigmas, truncate=cfg.truncate)      # [L, H, W]

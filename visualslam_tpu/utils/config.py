@@ -79,7 +79,10 @@ class PyramidConfig(_Base):
     # conv pair; "incremental": chain small-kernel blurs (fewer taps but a
     # sequential dependency chain — measured SLOWER on TPU); "pallas":
     # the fused Pallas multi-sigma kernel (fastest). Same math.
-    blur_mode: str = "absolute"  # -> "pallas" once the axon VMEM-placement quirk is resolved
+    blur_mode: str = "matmul"   # banded-Toeplitz MXU einsums (fastest + most
+    #                             accurate); "conv" = XLA separable conv;
+    #                             "incremental" = chained conv; "pallas" =
+    #                             opt-in kernel (axon remote-compile is slow)
 
     @property
     def levels_per_octave(self) -> int:
