@@ -173,3 +173,27 @@ def test_sample_bilinear_patches_matches_scattered(rng):
     out1 = np.asarray(sample_bilinear_patches(stack[..., 0], lvl, yx,
                                               coords, patch=28))
     np.testing.assert_allclose(out1, ref1, atol=2e-6)
+
+
+def test_sample_bilinear_patches_level_smaller_than_patch(rng):
+    """Levels smaller than the requested patch (tiny top octaves / dryrun
+    images) must still compile: the crop shrinks to the level per axis and
+    in-level samples stay exact bilinear (regression: the 64x96 multichip
+    dryrun failed with a gather-slice-size error at patch=28 > W=16)."""
+    from visualslam_tpu.ops.patches import (
+        rotated_grid,
+        sample_bilinear_patches,
+        sample_bilinear_stack,
+    )
+
+    L, H, W, K, S = 2, 12, 16, 8, 4
+    stack = jnp.asarray(rng.random((L, H, W), dtype=np.float32))
+    yx = jnp.asarray(rng.uniform(4, 8, (K, 2)).astype(np.float32))
+    ang = jnp.asarray(rng.uniform(0, 360, K).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, L, K).astype(np.int32))
+    coords = rotated_grid(yx, ang, S, 1.0)
+
+    ref = np.asarray(sample_bilinear_stack(stack, lvl, coords))
+    out = np.asarray(sample_bilinear_patches(stack, lvl, yx, coords,
+                                             patch=28))
+    np.testing.assert_allclose(out, ref, atol=2e-6)

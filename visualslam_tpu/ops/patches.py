@@ -117,25 +117,33 @@ def sample_bilinear_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
     if not channels:
         stack = stack[..., None]
     C = stack.shape[-1]
-    r = patch // 2
-    y0 = jnp.clip(jnp.round(center_yx[:, 0]).astype(jnp.int32) - r, 0, H - patch)
-    x0 = jnp.clip(jnp.round(center_yx[:, 1]).astype(jnp.int32) - r, 0, W - patch)
+    # A level smaller than the patch (tiny top octaves) can't host a full
+    # window: shrink the crop to the level per-axis (static shapes) — the
+    # coord clamp below then edge-clamps out-of-window samples, the same
+    # border policy as extract_patches/sample_bilinear.
+    ph = min(patch, H)
+    pw = min(patch, W)
+    ry = ph // 2
+    rx = pw // 2
+    y0 = jnp.clip(jnp.round(center_yx[:, 0]).astype(jnp.int32) - ry, 0, H - ph)
+    x0 = jnp.clip(jnp.round(center_yx[:, 1]).astype(jnp.int32) - rx, 0, W - pw)
 
     def crop(lvl, y, x):
         return jax.lax.dynamic_slice(stack, (lvl, y, x, 0),
-                                     (1, patch, patch, C))[0]
+                                     (1, ph, pw, C))[0]
 
-    patches = jax.vmap(crop)(level_idx, y0, x0)          # [K, P, P, C]
+    patches = jax.vmap(crop)(level_idx, y0, x0)          # [K, Ph, Pw, C]
 
     shape = coords.shape[1:-1]
     py = jnp.clip(coords[..., 0].reshape(K, -1)
-                  - y0[:, None].astype(coords.dtype), 0.0, patch - 1.0)
+                  - y0[:, None].astype(coords.dtype), 0.0, ph - 1.0)
     px = jnp.clip(coords[..., 1].reshape(K, -1)
-                  - x0[:, None].astype(coords.dtype), 0.0, patch - 1.0)
-    taps = jnp.arange(patch, dtype=coords.dtype)
+                  - x0[:, None].astype(coords.dtype), 0.0, pw - 1.0)
+    taps_y = jnp.arange(ph, dtype=coords.dtype)
+    taps_x = jnp.arange(pw, dtype=coords.dtype)
     # tent rows have exactly the two bilinear weights per sample
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - taps))  # [K, N, P]
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - taps))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - taps_y))  # [K, N, Ph]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - taps_x))
     # HIGHEST precision: bf16 MXU passes would quantize the interpolation
     # weights (~1e-2 error); exact bilinear needs full f32 accumulation
     t = jnp.einsum("kni,kijc->knjc", wy, patches,

@@ -20,6 +20,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     """1-D mesh over the first n_devices (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are visible "
+                f"({devs[0].platform}); for CI meshes set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"and jax_platforms=cpu before backend init")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
