@@ -75,3 +75,14 @@ def test_umeyama_known_transform(rng):
     np.testing.assert_allclose(s2, s, rtol=1e-6)
     np.testing.assert_allclose(R2, R, atol=1e-6)
     np.testing.assert_allclose(t2, t, atol=1e-6)
+
+
+def test_cli_run_pipelined(tmp_path, monkeypatch):
+    """--pipeline (stage-overlapped dispatch) must run the full sequence and
+    produce the same number of pose rows as the sequential path."""
+    monkeypatch.chdir(tmp_path)
+    main(["run", "--synthetic", "10", "--batch", "4", "--pipeline",
+          "--out", "est_p.txt", "--metrics", "mp.jsonl"])
+    assert os.path.exists("est_p.txt")
+    rows = [json.loads(l) for l in open("mp.jsonl")]
+    assert len(rows) == 10

@@ -237,3 +237,30 @@ def test_tracking_loss_recovery(rng):
         ok_after.append(res.tracking_ok)
     assert any(ok_after[3:]), "tracking never recovered after re-init"
     assert tracker.map.lm_valid.sum() > 50, "map not rebuilt"
+
+
+def test_pipelined_equals_sequential_batched():
+    """The stage-overlapped pipeline (parallel/pipeline.py) must produce
+    bit-identical trajectories to chunk-by-chunk process_batch: the same
+    jitted frontend runs on the same inputs and features are consumed in
+    the same order — only dispatch timing differs."""
+    from visualslam_tpu.io.kitti import SyntheticSequence
+    from visualslam_tpu.parallel.pipeline import pipelined_process
+
+    seq = SyntheticSequence(num_frames=8, h=120, w=160, n_dots=400)
+    info = seq.info()
+    cfg = CFG.replace(pyramid=CFG.pyramid.replace(num_octaves=2),
+                      sift=CFG.sift.replace(max_keypoints_per_octave=256,
+                                            max_keypoints=512))
+    imgs = np.stack([seq.frame(k) for k in range(len(seq))])
+
+    t1 = Tracker(cfg, info.intrinsics)
+    t1.process_batch(imgs[:3], 0)
+    t1.process_batch(imgs[3:6], 3)
+    t1.process_batch(imgs[6:], 6)
+
+    t2 = Tracker(cfg, info.intrinsics)
+    results = pipelined_process(t2, imgs, batch=3)
+
+    assert [r.frame_id for r in results] == list(range(8))
+    np.testing.assert_array_equal(t1.trajectory(), t2.trajectory())

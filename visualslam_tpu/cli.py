@@ -73,30 +73,47 @@ def cmd_run(args) -> None:
     ckpt_path = args.checkpoint or "slam_ckpt.npz"
     B = max(1, args.batch)
     t0 = time.perf_counter()
-    k = start
-    while k < len(seq):
-        ids = list(range(k, min(k + B, len(seq))))
-        imgs = np.stack([seq.frame(i) for i in ids])
-        try:
-            if len(ids) > 1:
-                results = tracker.process_batch(imgs, ids[0])
-            else:
-                results = [tracker.process(imgs[0], ids[0])]
-        except Exception as e:  # failure detection: save state, surface it
-            save_checkpoint(ckpt_path, tracker)
-            print(f"frames {ids[0]}..{ids[-1]}: FAILED "
-                  f"({type(e).__name__}: {e}); emergency checkpoint -> "
-                  f"{ckpt_path}", flush=True)
-            raise
-        res = results[-1]
-        el = time.perf_counter() - t0
-        fps = (ids[-1] - start + 1) / el
-        print(f"frame {ids[-1]}/{len(seq)} inliers={res.num_inliers} "
-              f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
-              f"{fps:.1f} fps", flush=True)
-        if args.checkpoint_every and (ids[-1] + 1) % args.checkpoint_every < B:
-            save_checkpoint(ckpt_path, tracker)
-        k = ids[-1] + 1
+
+    def batch_ids():
+        k = start
+        while k < len(seq):
+            yield list(range(k, min(k + B, len(seq))))
+            k = min(k + B, len(seq))
+
+    if getattr(args, "pipeline", False):
+        # stage-overlapped: detection of batch k+1 is dispatched before
+        # tracking/BA consumes batch k (parallel/pipeline.py)
+        from visualslam_tpu.parallel.pipeline import pipelined_batches
+
+        def run_batches():
+            gen = ((ids[0], np.stack([seq.frame(i) for i in ids]))
+                   for ids in batch_ids())
+            yield from pipelined_batches(tracker, gen)
+    else:
+        def run_batches():
+            for ids in batch_ids():
+                imgs = np.stack([seq.frame(i) for i in ids])
+                if len(ids) > 1:
+                    yield ids, tracker.process_batch(imgs, ids[0])
+                else:
+                    yield ids, [tracker.process(imgs[0], ids[0])]
+
+    try:
+        for ids, results in run_batches():
+            res = results[-1]
+            el = time.perf_counter() - t0
+            fps = (ids[-1] - start + 1) / el
+            print(f"frame {ids[-1]}/{len(seq)} inliers={res.num_inliers} "
+                  f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
+                  f"{fps:.1f} fps", flush=True)
+            if (args.checkpoint_every
+                    and (ids[-1] + 1) % args.checkpoint_every < B):
+                save_checkpoint(ckpt_path, tracker)
+    except Exception as e:  # failure detection: save state, surface it
+        save_checkpoint(ckpt_path, tracker)
+        print(f"run FAILED ({type(e).__name__}: {e}); emergency "
+              f"checkpoint -> {ckpt_path}", flush=True)
+        raise
     wall = time.perf_counter() - t0
     est = tracker.trajectory()
     out = args.out or "poses_est.txt"
@@ -200,6 +217,9 @@ def main(argv=None) -> None:
     r.add_argument("--resume", default=None)
     r.add_argument("--metrics", default=None,
                    help="write per-frame metrics JSON lines here")
+    r.add_argument("--pipeline", action="store_true",
+                   help="stage-overlapped execution: dispatch detection of "
+                        "batch k+1 before tracking/BA consumes batch k")
     r.add_argument("--batch", type=int, default=8,
                    help="frames per batched detection call (1 = per-frame)")
     r.set_defaults(fn=cmd_run)
