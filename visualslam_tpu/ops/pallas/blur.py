@@ -99,7 +99,7 @@ def _conv_pass(x, taps, kernel, S, rows_out, lanes, K, TILE):
         grid=(S, n),
         in_specs=[
             pl.BlockSpec((S, K), lambda s, i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # HBM; DMA'd slabs
+            pl.BlockSpec(memory_space=pl.ANY),   # HBM; DMA'd slabs
         ],
         out_specs=pl.BlockSpec((1, TILE, lanes), lambda s, i: (s, i, 0)),
         out_shape=jax.ShapeDtypeStruct((S, Rp, lanes), x.dtype),

@@ -189,11 +189,11 @@ def run_ba_sharded(sp: ShardedBAProblem, cfg: BAConfig, mesh: Mesh,
             # ring results are 'varying' in shard_map's type system even
             # though numerically replicated; make the whole carry varying
             # and collapse back to replicated after the scan
-            R = jax.lax.pvary(R, axis)
-            t = jax.lax.pvary(t, axis)
+            R = jax.lax.pcast(R, axis, to='varying')
+            t = jax.lax.pcast(t, axis, to='varying')
         lam = jnp.asarray(cfg.damping_init, X_s.dtype)
         if reduce == "ring":
-            lam = jax.lax.pvary(lam, axis)
+            lam = jax.lax.pcast(lam, axis, to='varying')
         p0 = local_problem(X_s, lmv_s, ci_s, li_s, uv_s, ov_s, R, t)
         cost = jax.lax.psum(
             robust_cost(p0, R, t, X_s, cfg.huber_delta), axis)
