@@ -114,24 +114,28 @@ class LoopCloser:
         n = np.linalg.norm(g)
         return (g / n if n > 1e-9 else g).astype(np.float32)
 
-    def add_keyframe(self, frame_id: int, R, t, feats: Features,
-                     kp_lm: np.ndarray, lm_positions: np.ndarray) -> int:
-        """Register a keyframe. kp_lm: [K] landmark index per keypoint (-1
-        if none); lm_positions: the global landmark array to snapshot from.
-        Returns the database index."""
+    @staticmethod
+    def _prep_features(feats: Features):
+        """(desc, valid, resp, yx) as float numpy arrays; bit-packed ORB
+        descriptors get unpacked to {0,1} floats (L2 on bit vectors ==
+        2x Hamming, so the standard matcher applies unchanged)."""
         desc = np.asarray(feats.descriptors)
         if desc.dtype == np.uint32:
-            # bit-packed (ORB): unpack to {0,1} float bits — L2 on bit
-            # vectors is Hamming, so the standard matcher/global-descriptor
-            # machinery applies unchanged
             desc = np.unpackbits(
                 desc.view(np.uint8), bitorder="little").reshape(
                 desc.shape[0], -1).astype(np.float32)
         else:
             desc = desc.astype(np.float32)
-        valid = np.asarray(feats.keypoints.valid)
-        resp = np.asarray(feats.keypoints.response)
-        yx = np.asarray(feats.keypoints.yx)
+        return (desc, np.asarray(feats.keypoints.valid),
+                np.asarray(feats.keypoints.response),
+                np.asarray(feats.keypoints.yx))
+
+    def add_keyframe(self, frame_id: int, R, t, feats: Features,
+                     kp_lm: np.ndarray, lm_positions: np.ndarray) -> int:
+        """Register a keyframe. kp_lm: [K] landmark index per keypoint (-1
+        if none); lm_positions: the global landmark array to snapshot from.
+        Returns the database index."""
+        desc, valid, resp, yx = self._prep_features(feats)
         order = np.argsort(np.where(valid, -resp, np.inf))[: self.sub]
         has_lm = kp_lm[order] >= 0
         entry = KeyframeEntry(
@@ -237,6 +241,70 @@ class LoopCloser:
             jnp.asarray(a.R), jnp.asarray(a.t), one)
         return LoopEdge(i=i, j=j, R=np.asarray(Rm), t=np.asarray(tm),
                         num_inliers=n_inl, scale=float(sm))
+
+    # ------------------------------------------------------------------
+
+    def relocalize(self, feats: Features, top_k: int = 3,
+                   cosine_threshold: Optional[float] = None
+                   ) -> Optional[tuple]:
+        """Recover the camera pose of an UNLOCALIZED frame from the keyframe
+        database: global-descriptor retrieval (no temporal exclusion — any
+        entry may match) -> local matching -> PnP against the candidate's
+        landmark snapshot (kept fresh by optimize()'s propagation). The
+        ORB-SLAM-style relocalization the tracker falls back to after
+        sustained tracking loss, instead of re-anchoring dead-reckoned.
+
+        Returns (R, t, num_inliers, db_index) in the current world frame,
+        or None if no candidate verifies."""
+        if not self.entries:
+            return None
+        desc, valid, resp, yx = self._prep_features(feats)
+        g = self.global_descriptor(desc, resp, valid)
+        sims = np.stack([e.global_desc for e in self.entries]) @ g
+        thresh = (self.cos_thresh if cosine_threshold is None
+                  else cosine_threshold)
+
+        # query keypoints subsampled exactly like database entries
+        order_kp = np.argsort(np.where(valid, -resp, np.inf))[: self.sub]
+        q_desc = desc[order_kp]
+        q_yx = yx[order_kp]
+        kq = q_desc.shape[0]
+        q_feats = Features(
+            Keypoints.empty(kq)._replace(yx=jnp.asarray(q_yx),
+                                         valid=jnp.ones(kq, bool)),
+            jnp.asarray(q_desc))
+        fx, fy, cx, cy = self.intr
+
+        for i in np.argsort(-sims)[: top_k]:
+            if sims[i] < thresh:
+                break
+            e = self.entries[i]
+            ke = e.desc.shape[0]
+            e_feats = Features(
+                Keypoints.empty(ke)._replace(yx=jnp.asarray(e.yx),
+                                             valid=jnp.ones(ke, bool)),
+                jnp.asarray(e.desc))
+            m = match_features(e_feats, q_feats, self.match_cfg)
+            mv = np.asarray(m.valid)
+            ia = np.asarray(m.idx_a)       # entry side (has landmarks)
+            ib = np.asarray(m.idx_b)       # query side
+            usable = mv & e.has_lm[ia]
+            if usable.sum() < self.min_inliers:
+                continue
+            X = e.lm_world[ia]                         # [M, 3] world
+            uv_q = q_yx[ib][:, ::-1]                   # (x, y) query pixels
+            x_q = np.stack([(uv_q[:, 0] - cx) / fx,
+                            (uv_q[:, 1] - cy) / fy], -1)
+            # init at the entry's (corrected) pose — the query viewpoint is
+            # near it by construction of the retrieval
+            pr = refine_pose_jit(jnp.asarray(e.R), jnp.asarray(e.t),
+                                 jnp.asarray(X),
+                                 jnp.asarray(x_q, jnp.float32),
+                                 jnp.asarray(usable))
+            n_inl = int(pr.num_inliers)
+            if n_inl >= self.min_inliers:
+                return (np.asarray(pr.R), np.asarray(pr.t), n_inl, int(i))
+        return None
 
     # ------------------------------------------------------------------
 

@@ -87,7 +87,8 @@ class Tracker:
         self._last_t = np.zeros(3, np.float32)
         self._vel = np.zeros(6, np.float32)  # constant-velocity model (twist)
         self._lost_streak = 0
-        self.relocalizations = 0
+        self.relocalizations = 0       # recoveries (re-init or db reloc)
+        self.db_relocalizations = 0    # recoveries that PnP'd into the db
         self.max_lost_frames = 5  # consecutive failures before re-init
 
         self._frontend = jax.jit(
@@ -183,9 +184,7 @@ class Tracker:
             # the bootstrap on the current frame
             self._lost_streak += 1
             if self._lost_streak > self.max_lost_frames:
-                self._reinitialize(feats, frame_id)
-                self._lost_streak = 0
-                self.relocalizations += 1
+                self._recover(feats, frame_id)
             return self._store_result(frame_id, self._last_R, self._last_t,
                                       num_matches=int(m.count()),
                                       num_inliers=n, tracking_ok=False)
@@ -268,14 +267,12 @@ class Tracker:
             # gap; a fresh two-view init restarts mapping).
             self._lost_streak += 1
             if self._lost_streak > self.max_lost_frames:
-                self._reinitialize(feats, frame_id)
-                self._lost_streak = 0
-                self.relocalizations += 1
+                from_db = self._recover(feats, frame_id)
                 return self._store_result(frame_id, self._last_R,
                                           self._last_t,
                                           num_matches=int(mv.sum()),
                                           num_inliers=0, is_keyframe=True,
-                                          tracking_ok=False)
+                                          tracking_ok=from_db)
         else:
             self._lost_streak = 0
         if ok:
@@ -303,6 +300,26 @@ class Tracker:
                                   tracking_ok=ok)
 
     # ------------------------------------------------------------------
+
+    def _recover(self, feats, frame_id) -> bool:
+        """Sustained-loss recovery: first try ORB-SLAM-style relocalization
+        (PnP against the keyframe database via LoopCloser.relocalize) so the
+        new map segment re-anchors at a map-consistent pose; fall back to
+        re-bootstrapping at the dead-reckoned last pose. Returns True when
+        the pose came from the database."""
+        from_db = False
+        if self.loop_closer is not None:
+            r = self.loop_closer.relocalize(feats)
+            if r is not None:
+                R, t, _, _ = r
+                self._last_R = np.array(R, np.float32, copy=True)
+                self._last_t = np.array(t, np.float32, copy=True)
+                self.db_relocalizations += 1
+                from_db = True
+        self._reinitialize(feats, frame_id)
+        self._lost_streak = 0
+        self.relocalizations += 1
+        return from_db
 
     def _reinitialize(self, feats, frame_id) -> None:
         """Drop the map and re-bootstrap from the current frame at the last
@@ -432,6 +449,8 @@ class Tracker:
             out[-1]["landmarks"] = int(self.map.lm_valid.sum())
             out[-1]["keyframes"] = len(self.map.kf_order)
             out[-1]["loop_closures"] = self.num_loop_closures
+            out[-1]["relocalizations"] = self.relocalizations
+            out[-1]["db_relocalizations"] = self.db_relocalizations
             out[-1]["last_ba_cost"] = self.last_ba_cost
         return out
 
