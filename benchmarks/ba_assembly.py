@@ -1,0 +1,131 @@
+"""A/B benchmark: BA normal-equation assembly, one-hot einsum vs fused
+pair-index segment_sum (VERDICT r1 weak #3).
+
+The round-1 assembly built Wd from [O, C] x [O, L] one-hots
+(`einsum("oc,ol,oij->clij")`): the lm one-hot alone is O x L f32 = 512 MB
+at O=16384, L=8192. The production path (backend/ba.py) now scatter-adds
+JcT_Jl over the fused pair index cam*L+lm — O(O) memory.
+
+Writes benchmarks/ba_assembly.json with per-variant LM-iteration times at
+C=10, L=8192, O=16384 (the VERDICT acceptance sizes) on the current device.
+
+Usage: python benchmarks/ba_assembly.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_problem(seed, C, L, O):
+    import jax.numpy as jnp
+
+    from visualslam_tpu.backend.ba import BAProblem
+
+    r = np.random.default_rng(seed)
+    X = r.uniform([-5, -5, 5], [5, 5, 30], (L, 3)).astype(np.float32)
+    Rm = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    t = np.zeros((C, 3), np.float32)
+    t[:, 0] = np.arange(C) * 0.2
+    cam = r.integers(0, C, O)
+    lm = r.integers(0, L, O)
+    pc = X[lm] + t[cam][:, :]
+    uv = pc[:, :2] / pc[:, 2:]
+    return BAProblem(
+        R=jnp.asarray(Rm), t=jnp.asarray(t),
+        X=jnp.asarray(X + r.normal(0, 0.05, X.shape).astype(np.float32)),
+        cam_idx=jnp.asarray(cam, jnp.int32),
+        lm_idx=jnp.asarray(lm, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        cam_valid=jnp.ones(C, bool), lm_valid=jnp.ones(L, bool))
+
+
+def onehot_normal_equations(p, R, t, X, cfg):
+    """Round-1 assembly, kept here only as the A/B reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualslam_tpu.backend import ba as bamod
+
+    C = R.shape[0]
+    L = X.shape[0]
+    r, Jc, Jl, _ = bamod._residuals_jacobians(p, R, t, X, cfg.huber_delta)
+    U = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jc, Jc), p.cam_idx, C)
+    V = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jl, Jl), p.lm_idx, L)
+    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), p.cam_idx, C)
+    bl = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jl, r), p.lm_idx, L)
+    JcT_Jl = jnp.einsum("oai,oaj->oij", Jc, Jl)
+    cam_oh = jax.nn.one_hot(p.cam_idx, C, dtype=r.dtype)
+    lm_oh = jax.nn.one_hot(p.lm_idx, L, dtype=r.dtype)
+    Wd = jnp.einsum("oc,ol,oij->clij", cam_oh, lm_oh, JcT_Jl)
+    return U, V, bc, bl, Wd
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from visualslam_tpu.backend import ba as bamod
+    from visualslam_tpu.utils.config import BAConfig
+
+    C, L, O = 10, 8192, 16384
+    cfg = BAConfig(iters=1, max_cameras=C, max_landmarks=L,
+                   max_observations=O)
+    probs = [make_problem(i, C, L, O) for i in range(3)]
+
+    def step_with(assembler):
+        def step(p):
+            with jax.default_matmul_precision("float32"):
+                lam = jnp.float32(cfg.damping_init)
+                U, V, bc, bl, Wd = assembler(p, p.R, p.t, p.X, cfg)
+                S, b, V_inv = bamod.schur_camera_system(U, V, bc, bl, Wd, lam)
+                dc = bamod.solve_cameras(S, b, p.cam_valid, lam, cfg)
+                dl = bamod.backsub_landmarks(V_inv, bl, Wd, dc, p.lm_valid)
+                R, t, X = bamod.apply_increments(p.R, p.t, p.X, dc, dl)
+                return jnp.sum(X) + jnp.sum(R) + jnp.sum(t)
+        return jax.jit(step)
+
+    def timeit(f):
+        for i in range(2):
+            float(f(probs[i % 3]))
+        ts = []
+        for i in range(8):
+            t0 = time.perf_counter()
+            float(f(probs[i % 3]))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    # numerical parity first (CPU-precision tolerance)
+    a = step_with(bamod.normal_equations)
+    b = step_with(onehot_normal_equations)
+    va, vb = float(a(probs[0])), float(b(probs[0]))
+    rel = abs(va - vb) / max(abs(vb), 1e-9)
+    assert rel < 1e-3, (va, vb)
+
+    t_seg = timeit(a)
+    t_oh = timeit(b)
+    out = {
+        "device": str(jax.devices()[0]),
+        "C": C, "L": L, "O": O,
+        "segment_sum_lm_iter_ms": round(t_seg * 1e3, 3),
+        "onehot_lm_iter_ms": round(t_oh * 1e3, 3),
+        "segment_sum_iters_per_s": round(1.0 / t_seg, 2),
+        "onehot_iters_per_s": round(1.0 / t_oh, 2),
+        "onehot_lm_onehot_bytes": O * L * 4,
+        "speedup": round(t_oh / t_seg, 3),
+    }
+    path = os.path.join(os.path.dirname(__file__), "ba_assembly.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,10 +156,12 @@ def normal_equations(p: BAProblem, R, t, X, cfg: BAConfig):
     bc = -jax.ops.segment_sum(JcT_r, p.cam_idx, C)       # [C, 6]
     bl = -jax.ops.segment_sum(JlT_r, p.lm_idx, L)        # [L, 3]
 
+    # camera-landmark coupling: scatter-add over the fused (cam, lm) pair
+    # index — O(O) memory/traffic. (Round 1 built this from [O, C] and
+    # [O, L] one-hots; the lm one-hot alone is 512 MB at O=16k, L=8k.)
     JcT_Jl = jnp.einsum("oai,oaj->oij", Jc, Jl)          # [O, 6, 3]
-    cam_oh = jax.nn.one_hot(p.cam_idx, C, dtype=r.dtype)  # [O, C]
-    lm_oh = jax.nn.one_hot(p.lm_idx, L, dtype=r.dtype)    # [O, L]
-    Wd = jnp.einsum("oc,ol,oij->clij", cam_oh, lm_oh, JcT_Jl)  # [C, L, 6, 3]
+    pair = p.cam_idx * L + p.lm_idx                      # [O]
+    Wd = jax.ops.segment_sum(JcT_Jl, pair, C * L).reshape(C, L, 6, 3)
     return U, V, bc, bl, Wd
 
 

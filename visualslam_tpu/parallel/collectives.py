@@ -15,6 +15,51 @@ import jax
 import jax.numpy as jnp
 
 
+def ring_reduce_scatter(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Reduce-scatter (sum) over `axis_name` via a ppermute ring.
+
+    x: [N, ...] — every device holds a full copy with partial values
+    (leading axis = destination shard). Returns this device's summed chunk
+    x_sum[idx] of shape x.shape[1:], after N-1 neighbor hops each carrying
+    one chunk. This is the "boundary exchange during Schur reduction" of
+    SURVEY.md §5: each device's landmark shard contributes Hessian rows for
+    REMOTE cameras; the ring delivers and folds them into the owning shard.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return x[0]
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    # at step s device d sends its partial sum of chunk (d - s - 1) % n;
+    # the receiver d+1 folds it into that same chunk — which in ITS index
+    # arithmetic is ((d+1) - s - 2) % n — and passes it on next step. After
+    # n-1 steps device d holds the full sum of chunk d.
+    acc = x
+    for s in range(n - 1):
+        send = acc[(idx - s - 1) % n]
+        recv = jax.lax.ppermute(send, axis_name, fwd)
+        acc = acc.at[(idx - s - 2) % n].add(recv)
+    return acc[idx]
+
+
+def ring_all_gather(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """All-gather over `axis_name` via a ppermute ring: [chunk...] ->
+    [N, chunk...] (chunk c from device c). N-1 neighbor hops — the halo
+    exchange used to circulate boundary camera blocks."""
+    n = jax.lax.axis_size(axis_name)
+    out = jnp.zeros((n,) + x.shape, x.dtype)
+    idx = jax.lax.axis_index(axis_name)
+    out = out.at[idx].set(x)
+    if n == 1:
+        return out
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    cur = x
+    for s in range(n - 1):
+        cur = jax.lax.ppermute(cur, axis_name, fwd)
+        out = out.at[(idx - s - 1) % n].set(cur)
+    return out
+
+
 def ring_allreduce(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """All-reduce (sum) over `axis_name`: ppermute reduce-scatter ring
     (N-1 neighbor hops, each carrying 1/N of the data) followed by an

@@ -65,7 +65,7 @@ def load_checkpoint(path: str, tracker) -> None:
     for s in range(m.window):
         m.kf_kp_lm[s] = z[f"kf_kp_lm_{s}"].copy()
         if f"kf_desc_{s}" in z:
-            m.kf_desc[s] = jnp.asarray(z[f"kf_desc_{s}"])
+            m.kf_desc[s] = z[f"kf_desc_{s}"].copy()
             m.kf_yx[s] = z[f"kf_yx_{s}"].copy()
             m.kf_kp_valid[s] = z[f"kf_kp_valid_{s}"].copy()
         if f"obs_lm_{s}" in z:
@@ -92,3 +92,5 @@ def load_checkpoint(path: str, tracker) -> None:
                 yx=jnp.asarray(m.kf_yx[s]),
                 valid=jnp.asarray(m.kf_kp_valid[s]))
             tracker._prev_feats = Features(kps, jnp.asarray(m.kf_desc[s]))
+            # device-side caches for the fused track step
+            tracker._refresh_device_cache()

@@ -74,7 +74,10 @@ class SlamMap:
         self.kf_t[slot] = t
         self.kf_valid[slot] = True
         self.kf_frame_id[slot] = frame_id
-        self.kf_desc[slot] = desc
+        # host copy: the local-map rebuild gathers descriptors per keyframe
+        # on every keyframe insertion — one device->host transfer here beats
+        # repeated readbacks there
+        self.kf_desc[slot] = np.asarray(desc)
         self.kf_yx[slot] = yx
         self.kf_kp_valid[slot] = kp_valid
         self.kf_kp_lm[slot][:] = -1

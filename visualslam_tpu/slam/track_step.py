@@ -1,0 +1,230 @@
+"""Fused per-frame tracking step — ONE jitted device program per frame.
+
+The reference promises the stages are "tied together to create a SLAM
+solution" (/root/reference/README.md:24). Tying them together naively makes
+the host loop a dispatch storm: every se3_exp / normalize / triangulate call
+issued eagerly is a separate device execution (~25 ms each through a remote
+relay — round-1 measured 0.33 fps end-to-end vs 65 fps for the frontend
+alone). This module fuses everything the tracker does per frame into a
+single fixed-shape program:
+
+    local-map 3D-2D matching  ->  motion-only PnP (LM)  ->  constant-velocity
+    update  ->  2D-2D matching vs the last keyframe  ->  DLT triangulation +
+    acceptance gates for new landmarks
+
+so the host issues exactly one execution per frame (plus the batched
+frontend) and reads back one small stats vector. Poses chain device-to-device
+between frames; the full association arrays are fetched only on the ~1-in-5
+frames that become keyframes.
+
+Local-map tracking (vs last-keyframe-only): the current frame is matched
+against descriptors of ALL landmarks visible in the sliding window (each
+landmark carries the descriptor from its most recent observing keyframe).
+This is the ORB-SLAM-style "track local map" stage — matching only the last
+keyframe makes inlier counts decay monotonically as the view drifts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from visualslam_tpu.backend.pnp import refine_pose
+from visualslam_tpu.geometry import se3
+from visualslam_tpu.geometry.camera import normalized
+from visualslam_tpu.geometry.epipolar import triangulate
+from visualslam_tpu.models.matching import match_features
+from visualslam_tpu.models.types import Features, Keypoints
+from visualslam_tpu.utils.config import SlamConfig
+
+
+class TrackState(NamedTuple):
+    """Device-resident tracker state, chained frame to frame without
+    host round trips."""
+
+    R: jnp.ndarray      # [3, 3] world-to-camera of the last processed frame
+    t: jnp.ndarray      # [3]
+    vel: jnp.ndarray    # [6] constant-velocity twist
+
+
+class KeyframeRef(NamedTuple):
+    """Device-side snapshot of the last keyframe (2D-2D matching source)."""
+
+    desc: jnp.ndarray       # [K, D]
+    yx: jnp.ndarray         # [K, 2]
+    kp_valid: jnp.ndarray   # [K] bool
+    kp_has_lm: jnp.ndarray  # [K] bool — keypoint already has a landmark
+    R: jnp.ndarray          # [3, 3]
+    t: jnp.ndarray          # [3]
+
+
+class LocalMap(NamedTuple):
+    """Device-side covisible-landmark set (3D-2D matching source).
+
+    Rebuilt host-side at every keyframe / BA / loop correction; the global
+    landmark ids per slot stay host-side (slam/tracker.py)."""
+
+    desc: jnp.ndarray   # [Kl, D] representative descriptor per landmark
+    X: jnp.ndarray      # [Kl, 3] world positions
+    valid: jnp.ndarray  # [Kl] bool
+
+
+class TrackOut(NamedTuple):
+    """Everything one frame produces. `stats` packs all per-frame scalars the
+    host needs into a single [22] readback:
+      [0] 2D-2D match count   [1] PnP inlier count   [2] PnP cost
+      [3] local-map match count   [4:13] R   [13:16] t   [16:22] vel."""
+
+    R: jnp.ndarray
+    t: jnp.ndarray
+    vel: jnp.ndarray
+    stats: jnp.ndarray       # [22] float32
+    # local-map 3D-2D associations (keyframe bookkeeping)
+    lm_slot: jnp.ndarray     # [Ml] int32 local-map slot
+    lm_kp: jnp.ndarray       # [Ml] int32 current keypoint index
+    lm_valid: jnp.ndarray    # [Ml] bool
+    lm_inlier: jnp.ndarray   # [Ml] bool PnP inlier
+    lm_x: jnp.ndarray        # [Ml, 2] normalized observation
+    # 2D-2D matches vs the last keyframe (new-landmark candidates)
+    m_idx_a: jnp.ndarray     # [M] int32 keyframe keypoint
+    m_idx_b: jnp.ndarray     # [M] int32 current keypoint
+    m_valid: jnp.ndarray     # [M] bool
+    m_x1: jnp.ndarray        # [M, 2] normalized coords in keyframe
+    m_x2: jnp.ndarray        # [M, 2] normalized coords in current frame
+    tri_X: jnp.ndarray       # [M, 3] triangulated world points
+    tri_good: jnp.ndarray    # [M] bool passed all acceptance gates
+
+
+def _local_map_features(lmap: LocalMap) -> Features:
+    k = lmap.desc.shape[0]
+    kps = Keypoints.empty(k)._replace(valid=lmap.valid)
+    return Features(kps, lmap.desc)
+
+
+def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
+               state: TrackState, intr: jnp.ndarray, cfg: SlamConfig,
+               min_inliers: int, max_depth: float) -> TrackOut:
+    """One frame of tracking as a single traceable program.
+
+    min_inliers: PnP inliers below which the frame falls back to the
+    constant-velocity prediction (host decides recovery). max_depth: new
+    landmarks beyond this depth (in camera-1 frame) are rejected.
+    """
+    # ---- 1. local-map 3D-2D association ------------------------------
+    ml = match_features(_local_map_features(lmap), feats, cfg.match)
+    uv_l = feats.keypoints.yx[ml.idx_b][:, ::-1]
+    x_l = normalized(uv_l, intr)                        # [Ml, 2]
+    Xw_l = lmap.X[ml.idx_a]                             # [Ml, 3]
+
+    # ---- 2. constant-velocity prediction + motion-only LM ------------
+    dR, dt = se3.se3_exp(state.vel)
+    R0 = dR @ state.R
+    t0 = dR @ state.t + dt
+    # spatial gate (ORB-SLAM style "track local map"): a descriptor match
+    # only counts if the landmark projects near the keypoint under the
+    # predicted pose — kills matches to drifted duplicates, occluded or
+    # out-of-view landmarks that pure appearance matching lets through
+    Xc_l = Xw_l @ R0.T + t0
+    z_l = Xc_l[:, 2]
+    proj_l = Xc_l[:, :2] / jnp.maximum(z_l[:, None], 1e-6)
+    gate = (z_l > 1e-3) & (jnp.linalg.norm(proj_l - x_l, axis=-1)
+                           < cfg.track_gate)
+    ml_gated = ml.valid & gate
+    pr = refine_pose(R0, t0, Xw_l, x_l, ml_gated)
+    ok = pr.num_inliers >= min_inliers
+    R = jnp.where(ok, pr.R, R0)
+    t = jnp.where(ok, pr.t, t0)
+
+    # ---- 3. velocity update: vel = log(T_new . T_old^-1) -------------
+    Ri, ti = se3.inverse(state.R, state.t)
+    Rrel, trel = se3.compose(R, t, Ri, ti)
+    vel = jnp.where(ok, se3.se3_log(Rrel, trel), state.vel)
+
+    # ---- 4. 2D-2D match vs last keyframe + triangulation -------------
+    kf_feats = Features(
+        Keypoints.empty(kf.desc.shape[0])._replace(yx=kf.yx,
+                                                   valid=kf.kp_valid),
+        kf.desc)
+    m = match_features(kf_feats, feats, cfg.match)
+    x1 = normalized(kf.yx[m.idx_a][:, ::-1], intr)
+    x2 = normalized(feats.keypoints.yx[m.idx_b][:, ::-1], intr)
+    # relative pose keyframe -> current
+    Rki, tki = se3.inverse(kf.R, kf.t)
+    Rrel2, trel2 = se3.compose(R, t, Rki, tki)
+    Xc1 = triangulate(Rrel2, trel2, x1, x2)             # keyframe cam frame
+    Xw = (Xc1 - kf.t) @ kf.R                            # world
+    z1 = Xc1[:, 2]
+    Xc2 = Xw @ R.T + t
+    z2 = Xc2[:, 2]
+    r1 = jnp.linalg.norm(Xc1[:, :2] / jnp.maximum(z1[:, None], 1e-6) - x1,
+                         axis=1)
+    r2 = jnp.linalg.norm(Xc2[:, :2] / jnp.maximum(z2[:, None], 1e-6) - x2,
+                         axis=1)
+    # current keypoints already associated to a landmark this frame must not
+    # spawn duplicates
+    assoc = jnp.zeros(feats.capacity, jnp.int32).at[ml.idx_b].max(
+        (ml_gated & pr.inliers).astype(jnp.int32)) > 0
+    fresh = ~kf.kp_has_lm[m.idx_a] & ~assoc[m.idx_b]
+    tri_good = (m.valid & fresh & ok
+                & (z1 > 1e-3) & (z2 > 1e-3) & (z1 < max_depth)
+                & (r1 < 6e-3) & (r2 < 6e-3))
+
+    stats = jnp.concatenate([
+        jnp.stack([m.count().astype(jnp.float32),
+                   pr.num_inliers.astype(jnp.float32),
+                   pr.cost,
+                   jnp.sum(ml_gated.astype(jnp.float32))]),
+        R.reshape(-1), t, vel,
+    ])
+    return TrackOut(
+        R=R, t=t, vel=vel, stats=stats,
+        lm_slot=ml.idx_a, lm_kp=ml.idx_b, lm_valid=ml_gated,
+        lm_inlier=pr.inliers, lm_x=x_l,
+        m_idx_a=m.idx_a, m_idx_b=m.idx_b, m_valid=m.valid,
+        m_x1=x1, m_x2=x2, tri_X=Xw, tri_good=tri_good,
+    )
+
+
+track_step_jit = jax.jit(track_step, static_argnums=(5, 6, 7))
+
+
+def build_local_map(slam_map, capacity: int, desc_dim: int,
+                    desc_dtype) -> tuple[LocalMap, np.ndarray]:
+    """Host-side rebuild of the covisible-landmark set from the sliding
+    window. For each landmark observed in the window, take the descriptor of
+    its MOST RECENT observing keyframe (viewpoint closest to the current
+    frame). Returns (LocalMap device arrays, global landmark ids [Kl])."""
+    desc = np.zeros((capacity, desc_dim), desc_dtype)
+    X = np.zeros((capacity, 3), np.float32)
+    ids = np.full(capacity, -1, np.int64)
+    n = 0
+    claimed = np.zeros(slam_map.max_landmarks, bool)
+    for s in reversed(slam_map.kf_order):            # newest first
+        kp_lm = slam_map.kf_kp_lm[s]
+        if slam_map.kf_desc[s] is None:
+            continue
+        sel = np.nonzero(kp_lm >= 0)[0]
+        if sel.size == 0:
+            continue
+        lms = kp_lm[sel]
+        keep = slam_map.lm_valid[lms] & ~claimed[lms]
+        sel, lms = sel[keep], lms[keep]
+        # first occurrence per landmark within this keyframe
+        lms, first = np.unique(lms, return_index=True)
+        sel = sel[first]
+        claimed[lms] = True
+        take = min(len(lms), capacity - n)
+        d_s = np.asarray(slam_map.kf_desc[s])
+        desc[n:n + take] = d_s[sel[:take]]
+        ids[n:n + take] = lms[:take]
+        n += take
+        if n >= capacity:
+            break
+    live = ids >= 0
+    X[live] = slam_map.X[ids[live]]
+    lmap = LocalMap(desc=jnp.asarray(desc), X=jnp.asarray(X),
+                    valid=jnp.asarray(live))
+    return lmap, ids

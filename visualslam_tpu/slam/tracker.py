@@ -26,14 +26,19 @@ import jax
 import jax.numpy as jnp
 
 from visualslam_tpu.backend.ba import BAProblem, run_ba_jit
-from visualslam_tpu.backend.pnp import refine_pose_jit
 from visualslam_tpu.frontend import detect_and_describe
-from visualslam_tpu.geometry import se3, sim3
+from visualslam_tpu.geometry import sim3
 from visualslam_tpu.geometry.camera import normalized
-from visualslam_tpu.geometry.epipolar import triangulate
 from visualslam_tpu.geometry.ransac import estimate_relative_pose
 from visualslam_tpu.models.matching import match_features
-from visualslam_tpu.models.types import Features, Keypoints
+from visualslam_tpu.models.types import Features
+from visualslam_tpu.slam.track_step import (
+    KeyframeRef,
+    LocalMap,
+    TrackState,
+    build_local_map,
+    track_step,
+)
 from visualslam_tpu.utils.config import SlamConfig
 
 
@@ -99,6 +104,21 @@ class Tracker:
             lambda x1, x2, v, k: estimate_relative_pose(
                 x1, x2, v, cfg.ransac, k))
         self._key = jax.random.PRNGKey(cfg.ransac.seed)
+
+        # fused per-frame tracking program (slam/track_step.py): everything
+        # between the frontend and the keyframe bookkeeping is ONE device
+        # execution; pose state chains device-to-device between frames
+        self._track_ok_min = max(10, cfg.keyframe_min_inliers // 3)
+        max_depth = float(init_depth) * 20.0
+        self._track_step = jax.jit(
+            lambda kf, lmap, feats, state, intr: track_step(
+                kf, lmap, feats, state, intr, cfg,
+                self._track_ok_min, max_depth))
+        # device-side caches, rebuilt at every keyframe / correction
+        self._kf_ref: Optional[KeyframeRef] = None
+        self._lmap: Optional[LocalMap] = None
+        self._lmap_ids = np.full(cfg.local_map_size, -1, np.int64)
+        self._state: Optional[TrackState] = None
 
     # ------------------------------------------------------------------
 
@@ -225,41 +245,51 @@ class Tracker:
             self.loop_closer.add_keyframe(
                 frame_id, self.map.kf_R[slot], self.map.kf_t[slot], feats,
                 self.map.kf_kp_lm[slot], self.map.X)
-        return self._store_result(frame_id, self.map.kf_R[slot],
-                                  self.map.kf_t[slot],
-                                  num_matches=int(m.count()), num_inliers=n,
-                                  is_keyframe=True)
+        res = self._store_result(frame_id, self.map.kf_R[slot],
+                                 self.map.kf_t[slot],
+                                 num_matches=int(m.count()), num_inliers=n,
+                                 is_keyframe=True)
+        self._refresh_device_cache()
+        return res
 
     # ------------------------------------------------------------------
 
-    def _track(self, feats, frame_id) -> FrameResult:
+    def _refresh_device_cache(self) -> None:
+        """Rebuild the device-side tracking caches (last-keyframe reference,
+        covisible local map, pose state) from the host map. Called after any
+        host mutation the fused track step must see: keyframe insertion, BA
+        writeback, loop correction, checkpoint resume."""
         kf = self.map.last_keyframe_slot()
-        prev = self._prev_feats
-        m = self._match(prev, feats)
-        mv = np.asarray(m.valid)
-        idx_a = np.asarray(m.idx_a)
-        idx_b = np.asarray(m.idx_b)
-
-        # split matches: tracked landmarks (3D-2D) vs new (2D-2D)
+        desc = self.map.kf_desc[kf]
         kp_lm = self.map.kf_kp_lm[kf]
-        lm_of_match = np.where(mv, kp_lm[idx_a], -1)
-        has_lm = lm_of_match >= 0
+        self._kf_ref = KeyframeRef(
+            desc=jnp.asarray(desc),
+            yx=jnp.asarray(self.map.kf_yx[kf], jnp.float32),
+            kp_valid=jnp.asarray(self.map.kf_kp_valid[kf]),
+            kp_has_lm=jnp.asarray(kp_lm >= 0),
+            R=jnp.asarray(self.map.kf_R[kf]),
+            t=jnp.asarray(self.map.kf_t[kf]))
+        self._lmap, self._lmap_ids = build_local_map(
+            self.map, self.cfg.local_map_size, desc.shape[1], desc.dtype)
+        self._state = TrackState(R=jnp.asarray(self._last_R),
+                                 t=jnp.asarray(self._last_t),
+                                 vel=jnp.asarray(self._vel))
 
-        M = len(idx_a)
-        uv2 = np.asarray(feats.keypoints.yx)[idx_b][:, ::-1]
-        x2 = np.asarray(normalized(jnp.asarray(uv2), self.intr))
-        Xw = self.map.X[np.maximum(lm_of_match, 0)]
+    def _track(self, feats, frame_id) -> FrameResult:
+        if self._kf_ref is None:
+            self._refresh_device_cache()
+        out = self._track_step(self._kf_ref, self._lmap, feats, self._state,
+                               self.intr)
+        stats = np.asarray(out.stats)            # the one readback per frame
+        n_match = int(stats[0])
+        n_inl = int(stats[1])
+        R = stats[4:13].reshape(3, 3).astype(np.float32)
+        t = stats[13:16].astype(np.float32)
+        self._vel = stats[16:22].astype(np.float32)
+        # chain pose state on device (no host->device upload next frame)
+        self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
 
-        # constant-velocity pose prediction
-        dR, dt = se3.se3_exp(jnp.asarray(self._vel))
-        R0 = np.asarray(dR) @ self._last_R
-        t0 = np.asarray(dR) @ self._last_t + np.asarray(dt)
-
-        pr = refine_pose_jit(jnp.asarray(R0), jnp.asarray(t0),
-                             jnp.asarray(Xw), jnp.asarray(x2),
-                             jnp.asarray(has_lm))
-        n_inl = int(pr.num_inliers)
-        ok = n_inl >= max(10, self.cfg.keyframe_min_inliers // 3)
+        ok = n_inl >= self._track_ok_min
         if not ok:
             # Failure recovery (SURVEY.md §5): after a sustained loss the
             # map is unusable from here — drop it and re-bootstrap from the
@@ -270,20 +300,11 @@ class Tracker:
                 from_db = self._recover(feats, frame_id)
                 return self._store_result(frame_id, self._last_R,
                                           self._last_t,
-                                          num_matches=int(mv.sum()),
+                                          num_matches=n_match,
                                           num_inliers=0, is_keyframe=True,
                                           tracking_ok=from_db)
         else:
             self._lost_streak = 0
-        if ok:
-            R, t = np.asarray(pr.R), np.asarray(pr.t)
-            # update velocity model: vel = log(T_new T_old^-1)
-            Ri, ti = se3.inverse(jnp.asarray(self._last_R),
-                                 jnp.asarray(self._last_t))
-            Rrel, trel = se3.compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
-            self._vel = np.asarray(se3.se3_log(Rrel, trel))
-        else:
-            R, t = R0, t0  # fall back to prediction
 
         self._frames_since_kf += 1
         need_kf = (n_inl < self.cfg.keyframe_min_inliers
@@ -291,11 +312,20 @@ class Tracker:
         is_kf = False
         if need_kf and ok:
             is_kf = True
-            self._make_keyframe_from_tracking(
-                feats, frame_id, R, t, m, lm_of_match, np.asarray(pr.inliers),
-                x2)
+            self._insert_keyframe_from_track(feats, frame_id, R, t, out)
+            # FrameResult and the velocity chain keep the odometry (PnP)
+            # pose so the exported trajectory stays internally consistent
+            # with the non-keyframe frames around it; the BA-adjusted pose
+            # lives in the map (PnP re-anchors against it every frame).
+            res = self._store_result(frame_id, R, t, num_matches=n_match,
+                                     num_inliers=n_inl, is_keyframe=True,
+                                     tracking_ok=True)
+            self._state = TrackState(R=jnp.asarray(self._last_R),
+                                     t=jnp.asarray(self._last_t),
+                                     vel=jnp.asarray(self._vel))
+            return res
         return self._store_result(frame_id, R, t,
-                                  num_matches=int(mv.sum()),
+                                  num_matches=n_match,
                                   num_inliers=n_inl, is_keyframe=is_kf,
                                   tracking_ok=ok)
 
@@ -333,56 +363,35 @@ class Tracker:
                            self.cfg.ba.max_landmarks, feat_cap)
         self._vel = np.zeros(6, np.float32)
         self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
+        self._kf_ref = None     # stale until the next two-view init succeeds
 
-    def _make_keyframe_from_tracking(self, feats, frame_id, R, t, m,
-                                     lm_of_match, pnp_inliers, x2_all):
+    def _insert_keyframe_from_track(self, feats, frame_id, R, t, out):
+        """Promote the current frame to a keyframe using the fused track
+        step's outputs (TrackOut): tracked-landmark observations from the
+        local-map association, new landmarks from the already-triangulated
+        + gated 2D-2D matches. The only extra device readback per keyframe
+        is the association pytree (a few KB)."""
+        d = jax.device_get(out)
         prev_kf = self.map.last_keyframe_slot()
-        prev_R = self.map.kf_R[prev_kf].copy()
-        prev_t = self.map.kf_t[prev_kf].copy()
-        prev_kp_lm = self.map.kf_kp_lm[prev_kf]
-        mv = np.asarray(m.valid)
-        idx_a = np.asarray(m.idx_a)
-        idx_b = np.asarray(m.idx_b)
 
         slot = self._new_keyframe(feats, frame_id, R, t)
 
-        # 1. observations of tracked landmarks
-        tracked = (lm_of_match >= 0) & pnp_inliers & mv
+        # 1. observations of tracked (local-map) landmarks
+        lm_ids = self._lmap_ids[np.maximum(d.lm_slot, 0)]
+        tracked = d.lm_valid & d.lm_inlier & (lm_ids >= 0)
         if tracked.any():
-            self.map.add_observations(slot, lm_of_match[tracked],
-                                      x2_all[tracked])
-            self.map.kf_kp_lm[slot][idx_b[tracked]] = lm_of_match[tracked]
+            self.map.add_observations(slot, lm_ids[tracked],
+                                      d.lm_x[tracked])
+            self.map.kf_kp_lm[slot][d.lm_kp[tracked]] = lm_ids[tracked]
 
-        # 2. triangulate new landmarks from unassociated 2D-2D matches
-        new2d = mv & (lm_of_match < 0)
-        if new2d.sum() >= 8:
-            uv1 = self.map.kf_yx[prev_kf][idx_a][:, ::-1]
-            x1 = np.asarray(normalized(jnp.asarray(uv1), self.intr))
-            # relative pose prev_kf -> current
-            Rpi, tpi = se3.inverse(jnp.asarray(prev_R), jnp.asarray(prev_t))
-            Rrel, trel = se3.compose(jnp.asarray(R), jnp.asarray(t), Rpi, tpi)
-            Xc1 = np.asarray(triangulate(Rrel, trel, jnp.asarray(x1),
-                                         jnp.asarray(x2_all)))
-            # to world: X_w = R_prev^T (X_c1 - t_prev)
-            Xw = (Xc1 - prev_t) @ prev_R
-            # accept: in front of both cams, bounded depth, low reprojection
-            z1 = Xc1[:, 2]
-            Xc2 = Xw @ np.asarray(R).T + np.asarray(t)
-            z2 = Xc2[:, 2]
-            r1 = np.linalg.norm(Xc1[:, :2] / np.maximum(z1[:, None], 1e-6)
-                                - x1, axis=1)
-            r2 = np.linalg.norm(Xc2[:, :2] / np.maximum(z2[:, None], 1e-6)
-                                - x2_all, axis=1)
-            # parallax check: ray angle between the two views
-            good = (new2d & (z1 > 1e-3) & (z2 > 1e-3)
-                    & (z1 < self.init_depth * 20)
-                    & (r1 < 6e-3) & (r2 < 6e-3))
-            if good.any():
-                lm_idx = self.map.allocate_landmarks(Xw[good])
-                self.map.add_observations(prev_kf, lm_idx, x1[good])
-                self.map.add_observations(slot, lm_idx, x2_all[good])
-                self.map.kf_kp_lm[prev_kf][idx_a[good]] = lm_idx
-                self.map.kf_kp_lm[slot][idx_b[good]] = lm_idx
+        # 2. new landmarks: triangulation + gates already ran on device
+        good = np.asarray(d.tri_good)
+        if good.any():
+            lm_idx = self.map.allocate_landmarks(d.tri_X[good])
+            self.map.add_observations(prev_kf, lm_idx, d.m_x1[good])
+            self.map.add_observations(slot, lm_idx, d.m_x2[good])
+            self.map.kf_kp_lm[prev_kf][d.m_idx_a[good]] = lm_idx
+            self.map.kf_kp_lm[slot][d.m_idx_b[good]] = lm_idx
 
         # 3. windowed BA
         if self.run_ba:
@@ -401,6 +410,9 @@ class Tracker:
                 self.num_loop_closures += 1
                 self.loop_closer.optimize()
                 self._apply_loop_correction(slot, idx)
+
+        # 5. device caches see the new keyframe / adjusted map
+        self._refresh_device_cache()
 
     def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
         """Move the active window (poses + landmarks) so the latest keyframe

@@ -231,6 +231,10 @@ class SlamConfig(_Base):
     frontend: str = "sift"              # "sift" | "orb" | "harris"
     keyframe_min_inliers: int = 40
     keyframe_max_gap: int = 5
+    local_map_size: int = 1024          # covisible landmarks tracked per frame
+    track_gate: float = 0.05            # local-map match gate: max distance
+    #                                     between predicted projection and
+    #                                     keypoint (normalized-plane units)
     image_height: int = 376             # KITTI-odometry grayscale default
     image_width: int = 1241
 
