@@ -19,7 +19,21 @@ Package layout (SURVEY.md §7 build plan):
   io/        dataset IO (KITTI-style), serialization, native bindings
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Persistent XLA compilation cache: TPU compiles in this environment go
+# through a remote tunnel (~20-40 s per program); caching them on disk makes
+# every process after the first start hot. No-op if the user already set one.
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from visualslam_tpu.utils.config import (  # noqa: F401
     PyramidConfig,

@@ -77,40 +77,97 @@ def pose_graph_cost(g: PoseGraph, R, t) -> jnp.ndarray:
     return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
-def _gn_step(g: PoseGraph, R, t, lam):
-    N = R.shape[0]
-    r, Ji, Jj = _residuals_and_jacobians(g, R, t)    # [E,6], [E,6,6] x2
-    w = (g.weight * g.edge_valid)[:, None, None]
+def _solve_graph_system(r, Ji, Jj, i, j, weight, frozen, lam, N, D,
+                        solver: str, cg_iters: int):
+    """Solve the damped GN normal equations of an edge graph.
+
+    r [E, D]; Ji/Jj [E, D, D]; i/j [E] node ids; weight [E] (0 for invalid
+    edges); frozen [N] gauge/invalid mask. Returns dx [N, D].
+
+    solver="dense": materialize H [N*D, N*D] via pair-index segment_sum and
+    solve directly — exact, O(N^2 D^2) memory, fine to a few hundred nodes.
+    solver="cg": Jacobi-block-preconditioned conjugate gradients where the
+    Hessian is never materialized — each matvec is an edge gather + two
+    segment_sum scatters, O(E D^2). This is what lets the pose graph scale
+    to thousands of keyframes (full KITTI sequences) on TPU."""
+    w = weight[:, None, None]
     Jiw = Ji * w
     Jjw = Jj * w
+    b = (-jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jiw, r), i, N)
+         - jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jjw, r), j, N))
+    free = (~frozen).astype(r.dtype)
+    b = b * free[:, None]
 
-    # block contributions via segment_sum over pair indices
-    pair_ii = g.i * N + g.i
-    pair_ij = g.i * N + g.j
-    pair_ji = g.j * N + g.i
-    pair_jj = g.j * N + g.j
-    blocks = (
-        jnp.einsum("eai,eaj->eij", Jiw, Ji),
-        jnp.einsum("eai,eaj->eij", Jiw, Jj),
-        jnp.einsum("eai,eaj->eij", Jjw, Ji),
-        jnp.einsum("eai,eaj->eij", Jjw, Jj),
-    )
-    pairs = (pair_ii, pair_ij, pair_ji, pair_jj)
-    H = jnp.zeros((N * N, 6, 6), R.dtype)
-    for blk, pr in zip(blocks, pairs):
-        H = H + jax.ops.segment_sum(blk, pr, N * N)
-    H = H.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    if solver == "dense":
+        pairs = (i * N + i, i * N + j, j * N + i, j * N + j)
+        blocks = (
+            jnp.einsum("eai,eaj->eij", Jiw, Ji),
+            jnp.einsum("eai,eaj->eij", Jiw, Jj),
+            jnp.einsum("eai,eaj->eij", Jjw, Ji),
+            jnp.einsum("eai,eaj->eij", Jjw, Jj),
+        )
+        H = jnp.zeros((N * N, D, D), r.dtype)
+        for blk, pr in zip(blocks, pairs):
+            H = H + jax.ops.segment_sum(blk, pr, N * N)
+        H = H.reshape(N, N, D, D).transpose(0, 2, 1, 3).reshape(N * D, N * D)
+        m = jnp.repeat(free, D)
+        H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        H = H + lam * jnp.eye(N * D, dtype=r.dtype)
+        return jnp.linalg.solve(H, b.reshape(-1) * m).reshape(N, D)
 
-    b = (-jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jiw, r), g.i, N)
-         - jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jjw, r), g.j, N))
+    # ---- matrix-free CG ----
+    def matvec(v):                     # v [N, D]
+        vf = v * free[:, None]         # zero frozen columns
+        vi = vf[i]                     # [E, D]
+        vj = vf[j]
+        yi = jnp.einsum("eab,eb->ea", Ji, vi) + jnp.einsum(
+            "eab,eb->ea", Jj, vj)      # J v per edge [E, D]
+        out = (jax.ops.segment_sum(
+                   jnp.einsum("eai,ea->ei", Jiw, yi), i, N)
+               + jax.ops.segment_sum(
+                   jnp.einsum("eai,ea->ei", Jjw, yi), j, N))
+        out = out * free[:, None] + v * (1.0 - free[:, None])
+        return out + lam * vf
 
+    # Jacobi block preconditioner: per-node D x D diagonal blocks
+    Hii = (jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jiw, Ji), i, N)
+           + jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jjw, Jj), j, N))
+    Hii = Hii + (lam + 1e-8) * jnp.eye(D, dtype=r.dtype)
+    Hii = (Hii * free[:, None, None]
+           + jnp.eye(D, dtype=r.dtype) * (1.0 - free[:, None, None]))
+    Hii_inv = jnp.linalg.inv(Hii)
+
+    def precond(v):
+        return jnp.einsum("nij,nj->ni", Hii_inv, v)
+
+    x = jnp.zeros_like(b)
+    rr = b
+    z = precond(rr)
+    p = z
+    rz = jnp.vdot(rr, z)
+
+    def body(k, carry):
+        x, rr, p, rz = carry
+        q = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, q), 1e-20)
+        x2 = x + alpha * p
+        r2 = rr - alpha * q
+        z2 = precond(r2)
+        rz2 = jnp.vdot(r2, z2)
+        beta = rz2 / jnp.maximum(rz, 1e-20)
+        return x2, r2, z2 + beta * p, rz2
+
+    x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, rr, p, rz))
+    return x * free[:, None]
+
+
+def _gn_step(g: PoseGraph, R, t, lam, solver: str = "dense",
+             cg_iters: int = 64):
+    N = R.shape[0]
+    r, Ji, Jj = _residuals_and_jacobians(g, R, t)    # [E,6], [E,6,6] x2
     frozen = ~g.node_valid | (jnp.arange(N) == 0)
-    free = (~frozen).astype(R.dtype)
-    m = jnp.repeat(free, 6)
-    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-    H = H + lam * jnp.eye(6 * N, dtype=R.dtype)
-    dx = jnp.linalg.solve(H, b.reshape(-1) * m).reshape(N, 6)
-
+    dx = _solve_graph_system(r, Ji, Jj, g.i, g.j, g.weight * g.edge_valid,
+                             frozen, lam, N, 6, solver, cg_iters)
     dR, dt = se3.se3_exp(dx)
     return dR @ R, (dR @ t[..., None])[..., 0] + dt
 
@@ -122,15 +179,22 @@ def optimize_pose_graph(*args, **kwargs):
         return _optimize_pose_graph_highp(*args, **kwargs)
 
 
+def resolve_solver(cfg: PoseGraphConfig, n_nodes: int) -> str:
+    if cfg.solver == "auto":
+        return "dense" if n_nodes <= cfg.cg_threshold else "cg"
+    return cfg.solver
+
+
 def _optimize_pose_graph_highp(g: PoseGraph, cfg: PoseGraphConfig) -> PoseGraphResult:
     R, t = g.R, g.t
+    solver = resolve_solver(cfg, R.shape[0])
     lam = jnp.asarray(cfg.damping, R.dtype)
     cost = pose_graph_cost(g, R, t)
     init = cost
 
     def body(carry, _):
         R, t, lam, cost = carry
-        Rn, tn = _gn_step(g, R, t, lam)
+        Rn, tn = _gn_step(g, R, t, lam, solver, cfg.cg_iters)
         cn = pose_graph_cost(g, Rn, tn)
         acc = cn < cost
         R2 = jnp.where(acc, Rn, R)
@@ -211,7 +275,8 @@ def sim3_graph_cost(g: Sim3Graph, R, t, s) -> jnp.ndarray:
     return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
-def _sim3_gn_step(g: Sim3Graph, R, t, s, lam):
+def _sim3_gn_step(g: Sim3Graph, R, t, s, lam, solver: str = "dense",
+                  cg_iters: int = 64):
     N = R.shape[0]
     zero = jnp.zeros(7, R.dtype)
 
@@ -224,32 +289,9 @@ def _sim3_gn_step(g: Sim3Graph, R, t, s, lam):
 
     r, Ji, Jj = jax.vmap(one)(R[g.i], t[g.i], s[g.i], R[g.j], t[g.j],
                               s[g.j], g.Rm, g.tm, g.sm)   # [E,7],[E,7,7]x2
-    w = (g.weight * g.edge_valid)[:, None, None]
-    Jiw = Ji * w
-    Jjw = Jj * w
-
-    pairs = (g.i * N + g.i, g.i * N + g.j, g.j * N + g.i, g.j * N + g.j)
-    blocks = (
-        jnp.einsum("eai,eaj->eij", Jiw, Ji),
-        jnp.einsum("eai,eaj->eij", Jiw, Jj),
-        jnp.einsum("eai,eaj->eij", Jjw, Ji),
-        jnp.einsum("eai,eaj->eij", Jjw, Jj),
-    )
-    H = jnp.zeros((N * N, 7, 7), R.dtype)
-    for blk, pr in zip(blocks, pairs):
-        H = H + jax.ops.segment_sum(blk, pr, N * N)
-    H = H.reshape(N, N, 7, 7).transpose(0, 2, 1, 3).reshape(7 * N, 7 * N)
-
-    b = (-jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jiw, r), g.i, N)
-         - jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jjw, r), g.j, N))
-
     frozen = ~g.node_valid | (jnp.arange(N) == 0)
-    free = (~frozen).astype(R.dtype)
-    m = jnp.repeat(free, 7)
-    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-    H = H + lam * jnp.eye(7 * N, dtype=R.dtype)
-    dx = jnp.linalg.solve(H, b.reshape(-1) * m).reshape(N, 7)
-
+    dx = _solve_graph_system(r, Ji, Jj, g.i, g.j, g.weight * g.edge_valid,
+                             frozen, lam, N, 7, solver, cg_iters)
     dR, dt, ds = sim3.sim3_exp(dx)
     return sim3.compose(dR, dt, ds, R, t, s)
 
@@ -263,13 +305,14 @@ def optimize_sim3_graph(g: Sim3Graph, cfg: PoseGraphConfig) -> Sim3GraphResult:
 
 def _optimize_sim3_graph_highp(g: Sim3Graph, cfg: PoseGraphConfig):
     R, t, s = g.R, g.t, g.s
+    solver = resolve_solver(cfg, R.shape[0])
     lam = jnp.asarray(cfg.damping, R.dtype)
     cost = sim3_graph_cost(g, R, t, s)
     init = cost
 
     def body(carry, _):
         R, t, s, lam, cost = carry
-        Rn, tn, sn = _sim3_gn_step(g, R, t, s, lam)
+        Rn, tn, sn = _sim3_gn_step(g, R, t, s, lam, solver, cfg.cg_iters)
         cn = sim3_graph_cost(g, Rn, tn, sn)
         acc = cn < cost
         R2 = jnp.where(acc, Rn, R)

@@ -115,6 +115,11 @@ def cmd_run(args) -> None:
               f"checkpoint -> {ckpt_path}", flush=True)
         raise
     wall = time.perf_counter() - t0
+    if args.global_ba:
+        res = tracker.global_ba()
+        print(f"global BA: {res.n_cameras} keyframes, {res.n_landmarks} "
+              f"landmarks, {res.n_observations} obs; cost "
+              f"{res.initial_cost:.3e} -> {res.cost:.3e}")
     est = tracker.trajectory()
     out = args.out or "poses_est.txt"
     save_kitti_poses(out, est)
@@ -222,6 +227,9 @@ def main(argv=None) -> None:
                         "batch k+1 before tracking/BA consumes batch k")
     r.add_argument("--batch", type=int, default=8,
                    help="frames per batched detection call (1 = per-frame)")
+    r.add_argument("--global-ba", action="store_true",
+                   help="full-sequence bundle adjustment over the entire "
+                        "keyframe history after the run")
     r.set_defaults(fn=cmd_run)
 
     tv = sub.add_parser("two-view",

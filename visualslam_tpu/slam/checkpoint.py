@@ -23,7 +23,17 @@ def save_checkpoint(path: str, tracker) -> None:
             blobs[f"kf_kp_valid_{s}"] = np.asarray(m.kf_kp_valid[s])
         blobs[f"kf_kp_lm_{s}"] = m.kf_kp_lm[s]
         if s in m.obs:
-            blobs[f"obs_lm_{s}"], blobs[f"obs_uv_{s}"] = m.obs[s]
+            (blobs[f"obs_lm_{s}"], blobs[f"obs_uid_{s}"],
+             blobs[f"obs_uv_{s}"]) = m.obs[s]
+    for k, a in enumerate(m.archive):
+        blobs[f"arch_meta_{k}"] = np.concatenate(
+            [[a.frame_id], a.R.ravel(), a.t]).astype(np.float64)
+        blobs[f"arch_uid_{k}"] = a.lm_uid
+        blobs[f"arch_uv_{k}"] = a.uv
+    if m.archived_lm_pos:
+        blobs["alp_uid"] = np.asarray(list(m.archived_lm_pos.keys()),
+                                      np.int64)
+        blobs["alp_pos"] = np.stack(list(m.archived_lm_pos.values()))
     frames = np.array(
         [(f.frame_id, f.num_matches, f.num_inliers, int(f.is_keyframe),
           int(f.tracking_ok)) for f in tracker.frames], np.int64)
@@ -36,6 +46,8 @@ def save_checkpoint(path: str, tracker) -> None:
         kf_R=m.kf_R, kf_t=m.kf_t, kf_valid=m.kf_valid,
         kf_frame_id=m.kf_frame_id, kf_order=np.asarray(m.kf_order, np.int64),
         X=m.X, lm_valid=m.lm_valid, lm_obs_count=m.lm_obs_count,
+        lm_uid=m.lm_uid, next_uid=np.int64(m._next_uid),
+        n_archive=np.int64(len(m.archive)),
         lm_cursor=np.int64(m._lm_cursor),
         frames=frames, frame_R=frame_R, frame_t=frame_t,
         last_R=tracker._last_R, last_t=tracker._last_t, vel=tracker._vel,
@@ -62,6 +74,22 @@ def load_checkpoint(path: str, tracker) -> None:
     m.lm_valid = z["lm_valid"].copy()
     m.lm_obs_count = z["lm_obs_count"].copy()
     m._lm_cursor = int(z["lm_cursor"])
+    if "lm_uid" in z:
+        m.lm_uid = z["lm_uid"].copy()
+        m._next_uid = int(z["next_uid"])
+        from visualslam_tpu.slam.map_state import ArchivedKeyframe
+
+        for k in range(int(z["n_archive"])):
+            meta = z[f"arch_meta_{k}"]
+            m.archive.append(ArchivedKeyframe(
+                frame_id=int(meta[0]),
+                R=meta[1:10].reshape(3, 3).astype(np.float32),
+                t=meta[10:13].astype(np.float32),
+                lm_uid=z[f"arch_uid_{k}"].copy(),
+                uv=z[f"arch_uv_{k}"].copy()))
+        if "alp_uid" in z:
+            m.archived_lm_pos = {
+                int(u): p for u, p in zip(z["alp_uid"], z["alp_pos"])}
     for s in range(m.window):
         m.kf_kp_lm[s] = z[f"kf_kp_lm_{s}"].copy()
         if f"kf_desc_{s}" in z:
@@ -69,7 +97,8 @@ def load_checkpoint(path: str, tracker) -> None:
             m.kf_yx[s] = z[f"kf_yx_{s}"].copy()
             m.kf_kp_valid[s] = z[f"kf_kp_valid_{s}"].copy()
         if f"obs_lm_{s}" in z:
-            m.obs[s] = (z[f"obs_lm_{s}"].copy(), z[f"obs_uv_{s}"].copy())
+            m.obs[s] = (z[f"obs_lm_{s}"].copy(), z[f"obs_uid_{s}"].copy(),
+                        z[f"obs_uv_{s}"].copy())
     tracker.frames = [
         FrameResult(frame_id=int(fid), R=R, t=t, num_matches=int(nm),
                     num_inliers=int(ni), is_keyframe=bool(kf),

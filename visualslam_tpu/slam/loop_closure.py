@@ -154,8 +154,13 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
-    def detect(self, j: int) -> Optional[LoopEdge]:
-        """Try to close a loop for keyframe j against the database."""
+    def detect(self, j: int, top_k: int = 3) -> Optional[LoopEdge]:
+        """Try to close a loop for keyframe j against the database.
+
+        Geometric verification runs over the top-k retrieval candidates
+        above the cosine gate (argmax-only retrieval misses loops whenever
+        the best-scoring candidate fails PnP but the runner-up would pass,
+        e.g. under perceptual aliasing)."""
         n = len(self.entries)
         if j != n - 1 or n <= self.exclude + 1:
             return None
@@ -163,13 +168,14 @@ class LoopCloser:
         past = np.stack([e.global_desc for e in
                          self.entries[: n - self.exclude - 1]])
         sims = past @ cur.global_desc
-        i = int(np.argmax(sims))
-        if sims[i] < self.cos_thresh:
-            return None
-        edge = self._verify(i, j)
-        if edge is not None:
-            self.loop_edges.append(edge)
-        return edge
+        for i in np.argsort(-sims)[: top_k]:
+            if sims[i] < self.cos_thresh:
+                break
+            edge = self._verify(int(i), j)
+            if edge is not None:
+                self.loop_edges.append(edge)
+                return edge
+        return None
 
     def _verify(self, i: int, j: int) -> Optional[LoopEdge]:
         """Geometric verification: match + PnP of candidate i against the
@@ -322,10 +328,16 @@ class LoopCloser:
         n = len(self.entries)
         if n < 3:
             return None
+        # capacity grows in powers of two past the configured floor (each
+        # growth recompiles once; the CG solver keeps big graphs tractable).
+        # Round 1 silently returned None past max_nodes — loop closure just
+        # stopped working on long runs with no signal.
         N = self.pg_cfg.max_nodes
+        while N < n:
+            N *= 2
         E = self.pg_cfg.max_edges
-        if n > N:
-            return None
+        while E < N * 4:
+            E *= 2
 
         R0 = np.stack([e.R for e in self.entries])
         t0 = np.stack([e.t for e in self.entries])
@@ -349,8 +361,9 @@ class LoopCloser:
             sm.append(e.scale)
             w.append(2.0)
         ne = len(ii)
-        if ne > E:
-            return None
+        if ne > E:   # can't happen with E >= 4N; fail loudly if it ever does
+            raise RuntimeError(
+                f"pose graph edge overflow: {ne} edges > capacity {E}")
 
         def pad(a, target, shape_tail):
             out = np.zeros((target,) + shape_tail, np.float32)

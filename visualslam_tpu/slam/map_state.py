@@ -6,11 +6,29 @@ lives host-side in NumPy (map maintenance is branchy bookkeeping — slot
 allocation, eviction, association — that belongs on the host); every device
 phase (frontend, matching, PnP, triangulation, BA) receives fixed-shape
 array views of this state, so all heavy math stays jitted.
-"""
+
+Landmarks carry persistent unique ids (uids) alongside their recycled slot
+indices: observations are validated against the uid, so a slot reused after
+eviction/wraparound can never be misattributed, and evicted keyframes are
+ARCHIVED (pose + uid-keyed observations) so a full-sequence global BA can
+run after the sliding window has moved on (BASELINE configs[4])."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
+
+
+@dataclass
+class ArchivedKeyframe:
+    """A keyframe evicted from the window, kept for global BA."""
+
+    frame_id: int
+    R: np.ndarray               # world-to-camera at eviction time
+    t: np.ndarray
+    lm_uid: np.ndarray          # [n_obs] persistent landmark ids
+    uv: np.ndarray              # [n_obs, 2] normalized observations
 
 
 class SlamMap:
@@ -36,9 +54,14 @@ class SlamMap:
         self.X = np.zeros((L, 3), np.float32)
         self.lm_valid = np.zeros(L, bool)
         self.lm_obs_count = np.zeros(L, np.int32)
+        self.lm_uid = np.full(L, -1, np.int64)   # persistent unique ids
+        self._next_uid = 0
         self._lm_cursor = 0
-        # observations: dict slot -> (lm_idx array, uv array) per keyframe
+        # observations: dict slot -> (lm_idx, lm_uid, uv) per keyframe
         self.obs = {}
+        # full-sequence history for global BA (slam/global_ba.py)
+        self.archive: list[ArchivedKeyframe] = []
+        self.archived_lm_pos: dict[int, np.ndarray] = {}  # uid -> [3]
 
     # ---------- keyframes ----------
 
@@ -56,16 +79,32 @@ class SlamMap:
 
     def _remove_keyframe(self, slot: int) -> None:
         if slot in self.obs:
-            lm_idx, _ = self.obs.pop(slot)
-            np.subtract.at(self.lm_obs_count, lm_idx, 1)
+            lm_idx, lm_uid, uv = self.obs.pop(slot)
+            # archive: keep only observations whose slot still holds the
+            # same landmark (uid match) — stale ones are meaningless
+            live = self.lm_uid[lm_idx] == lm_uid
+            self.archive.append(ArchivedKeyframe(
+                frame_id=int(self.kf_frame_id[slot]),
+                R=self.kf_R[slot].copy(), t=self.kf_t[slot].copy(),
+                lm_uid=lm_uid[live].copy(), uv=uv[live].copy()))
+            np.subtract.at(self.lm_obs_count, lm_idx[live], 1)
+        else:
+            self.archive.append(ArchivedKeyframe(
+                frame_id=int(self.kf_frame_id[slot]),
+                R=self.kf_R[slot].copy(), t=self.kf_t[slot].copy(),
+                lm_uid=np.zeros(0, np.int64),
+                uv=np.zeros((0, 2), np.float32)))
         self.kf_valid[slot] = False
         self.kf_frame_id[slot] = -1
         self.kf_desc[slot] = None
         self.kf_yx[slot] = None
         self.kf_kp_valid[slot] = None
         self.kf_kp_lm[slot][:] = -1
-        # free landmarks nobody observes anymore
+        # free landmarks nobody observes anymore; snapshot their positions
+        # for the global-BA initialization
         dead = self.lm_valid & (self.lm_obs_count <= 0)
+        for s in np.nonzero(dead)[0]:
+            self.archived_lm_pos[int(self.lm_uid[s])] = self.X[s].copy()
         self.lm_valid[dead] = False
 
     def set_keyframe(self, slot: int, frame_id: int, R, t, desc, yx,
@@ -100,21 +139,30 @@ class SlamMap:
             self._lm_cursor = int((self._lm_cursor + extra)
                                   % self.max_landmarks)
             idx = np.concatenate([free, steal])
+        # snapshot positions of landmarks whose slots get recycled
+        for s in idx:
+            if self.lm_uid[s] >= 0:
+                self.archived_lm_pos[int(self.lm_uid[s])] = self.X[s].copy()
         self.X[idx] = X_new
         self.lm_valid[idx] = True
         self.lm_obs_count[idx] = 0
+        self.lm_uid[idx] = self._next_uid + np.arange(n)
+        self._next_uid += n
         return idx
 
     def add_observations(self, slot: int, lm_idx: np.ndarray,
                          uv: np.ndarray) -> None:
         """Record that keyframe `slot` observes lm_idx at normalized uv."""
         lm_idx = np.asarray(lm_idx, np.int64)
+        lm_uid = self.lm_uid[lm_idx].copy()
         np.add.at(self.lm_obs_count, lm_idx, 1)
         if slot in self.obs:
-            old_lm, old_uv = self.obs[slot]
+            old_lm, old_uid, old_uv = self.obs[slot]
             lm_idx = np.concatenate([old_lm, lm_idx])
+            lm_uid = np.concatenate([old_uid, lm_uid])
             uv = np.concatenate([old_uv, uv])
-        self.obs[slot] = (lm_idx.astype(np.int64), uv.astype(np.float32))
+        self.obs[slot] = (lm_idx.astype(np.int64), lm_uid,
+                          uv.astype(np.float32))
 
     # ---------- BA problem extraction ----------
 
@@ -131,8 +179,9 @@ class SlamMap:
         for s in slots:
             if s not in self.obs:
                 continue
-            lm_idx, uv = self.obs[s]
-            keep = self.lm_valid[lm_idx]
+            lm_idx, lm_uid, uv = self.obs[s]
+            # valid AND still the same landmark (slot not recycled since)
+            keep = self.lm_valid[lm_idx] & (self.lm_uid[lm_idx] == lm_uid)
             lm_idx = lm_idx[keep]
             uv = uv[keep]
             cams.append(np.full(len(lm_idx), cam_of_slot[s]))

@@ -502,6 +502,38 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
+    def global_ba(self, mesh=None):
+        """Full-sequence bundle adjustment over the ENTIRE keyframe history
+        (archived + live window, slam/global_ba.py). Keyframe FrameResults
+        adopt their optimized poses; frames between keyframes are carried
+        rigidly by their preceding keyframe's correction. With `mesh`, the
+        trajectory axis is sharded across devices."""
+        from visualslam_tpu.slam.global_ba import run_global_ba
+
+        corrected = None
+        lc = self.loop_closer
+        if lc is not None and lc.corrected is not None:
+            corrected = {int(e.frame_id): (np.asarray(Rc), np.asarray(tc))
+                         for e, (Rc, tc) in zip(lc.entries, lc.corrected)}
+        res = run_global_ba(self.map, self.cfg.ba, corrected, mesh)
+
+        by_fid = {int(f): k for k, f in enumerate(res.frame_ids)}
+        carry = None     # T_kf_old^-1 . T_kf_new of the preceding keyframe
+        for fr in self.frames:
+            if fr.frame_id in by_fid:
+                k = by_fid[fr.frame_id]
+                Rn = res.R[k].astype(np.float32)
+                tn = res.t[k].astype(np.float32)
+                Ri = fr.R.T
+                ti = -fr.R.T @ fr.t
+                carry = (Ri @ Rn, Ri @ tn + ti)
+                fr.R, fr.t = Rn, tn
+            elif carry is not None:
+                Rc, tc = carry
+                fr.R, fr.t = ((fr.R @ Rc).astype(np.float32),
+                              (fr.R @ tc + fr.t).astype(np.float32))
+        return res
+
     def trajectory(self) -> np.ndarray:
         """[F, 3, 4] camera-to-world pose matrices (KITTI convention)."""
         out = []

@@ -196,10 +196,16 @@ class BAConfig(_Base):
 
 @dataclass(frozen=True)
 class PoseGraphConfig(_Base):
-    max_nodes: int = 256
+    max_nodes: int = 256        # padding floor; loop_closure grows past it
     max_edges: int = 1024
     iters: int = 20
     damping: float = 1e-4
+    # "dense": materialize + factor the 6N x 6N system (exact, <= a few
+    # hundred nodes); "cg": matrix-free block-Jacobi CG, O(E) per matvec —
+    # scales to full-sequence graphs; "auto": dense below cg_threshold
+    solver: str = "auto"
+    cg_iters: int = 96
+    cg_threshold: int = 192     # auto: switch to cg at this node count
 
 
 @dataclass(frozen=True)
