@@ -133,6 +133,13 @@ def run_benchmarks(full: bool = False, h: int = 376, w: int = 1248) -> dict:
     for k, v in results.items():
         print(f"[bench] {k:22s} {v:10.3f}", file=sys.stderr)
     print(json.dumps(results))
+    # persist alongside the harness so numbers are tracked, not just printed
+    import os
+
+    out = {"device": str(dev), "image": f"{h}x{w}", **results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
     return results
 
 

@@ -194,6 +194,83 @@ def cmd_benchmark(args) -> None:
     run_benchmarks(full=args.full)
 
 
+def cmd_accuracy(args) -> None:
+    """Regenerate the tracked accuracy table (ACCURACY.md): fixed synthetic
+    scenarios, each row = (scenario, config profile, commit, frames, ATE,
+    RPE, inlier stats). Every number in the docs must be reproducible by
+    this command."""
+    import subprocess
+
+    from visualslam_tpu.io.kitti import SyntheticSequence
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses, rpe
+    from visualslam_tpu.slam.tracker import Tracker
+    from visualslam_tpu.utils.config import DEFAULT_CONFIG, FAST_CONFIG
+
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=os.path.dirname(os.path.dirname(
+                                    os.path.abspath(__file__)))
+                                ).stdout.strip() or "unknown"
+    except OSError:
+        commit = "unknown"
+
+    scenarios = [
+        ("synthetic-100", "fast", dict(num_frames=100, h=240, w=376,
+                                       n_dots=1500, step=0.4), False),
+        ("synthetic-100+gba", "fast", dict(num_frames=100, h=240, w=376,
+                                           n_dots=1500, step=0.4), True),
+        ("synthetic-60", "fast", dict(num_frames=60, h=240, w=376,
+                                      n_dots=1500, step=0.4), False),
+    ]
+    rows = []
+    for name, profile, kw, use_gba in scenarios:
+        seq = SyntheticSequence(**kw)
+        info = seq.info()
+        cfg = FAST_CONFIG if profile == "fast" else DEFAULT_CONFIG
+        tracker = Tracker(cfg, info.intrinsics)
+        frames = np.stack([seq.frame(k) for k in range(len(seq))])
+        t0 = time.perf_counter()
+        for k in range(0, len(frames), 8):
+            tracker.process_batch(frames[k:k + 8], k)
+        wall = time.perf_counter() - t0
+        if use_gba:
+            tracker.global_ba()
+        est = tracker.trajectory()
+        gt = info.gt_poses[: len(est)]
+        ate = ate_rmse(centers_from_poses(est), centers_from_poses(gt))
+        t_rmse, r_rmse = rpe(est, gt)
+        inl = [f.num_inliers for f in tracker.frames if f.num_inliers > 0]
+        rows.append({
+            "scenario": name, "profile": profile, "commit": commit,
+            "frames": len(frames), "fps": round(len(frames) / wall, 2),
+            "ate_m": round(float(ate), 4),
+            "rpe_trans_m": round(float(t_rmse), 4),
+            "rpe_rot_deg": round(float(r_rmse), 4),
+            "mean_inliers": round(float(np.mean(inl)), 1) if inl else 0.0,
+            "min_inliers": int(np.min(inl)) if inl else 0,
+            "keyframes": int(sum(f.is_keyframe for f in tracker.frames)),
+            "loop_closures": tracker.num_loop_closures,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = args.out or "ACCURACY.md"
+    with open(out, "w") as f:
+        f.write("# ACCURACY — tracked sequence-level results\n\n")
+        f.write("Regenerate with: `python -m visualslam_tpu.cli accuracy`"
+                "\n\nEvery row is produced by that command on the commit "
+                "shown — numbers in other docs must cite this file.\n\n")
+        keys = list(rows[0].keys())
+        f.write("| " + " | ".join(keys) + " |\n")
+        f.write("|" + "---|" * len(keys) + "\n")
+        for r in rows:
+            f.write("| " + " | ".join(str(r[k]) for k in keys) + " |\n")
+        f.write("\nScenario definitions live in `visualslam_tpu/cli.py` "
+                "(`cmd_accuracy`): SyntheticSequence splat worlds with "
+                "exact ground truth; ATE is Sim(3)-aligned RMSE.\n")
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="visualslam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -250,6 +327,11 @@ def main(argv=None) -> None:
     b = sub.add_parser("benchmark", help="run the benchmark harness")
     b.add_argument("--full", action="store_true")
     b.set_defaults(fn=cmd_benchmark)
+
+    a = sub.add_parser("accuracy",
+                       help="regenerate the tracked ACCURACY.md table")
+    a.add_argument("--out", default=None)
+    a.set_defaults(fn=cmd_accuracy)
 
     args = p.parse_args(argv)
     args.fn(args)

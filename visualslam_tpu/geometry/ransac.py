@@ -38,12 +38,26 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
         key = jax.random.PRNGKey(cfg.seed)
     keys = jax.random.split(key, cfg.num_hypotheses)
 
-    def hypothesis(k):
-        idx = _gumbel_sample_indices(k, valid, cfg.sample_size)
-        E = eight_point(x1[idx], x2[idx])
-        err = sampson_error(E, x1, x2)
-        inl = (err < cfg.inlier_threshold) & valid
-        return E, inl, jnp.sum(inl)
+    if cfg.solver == "5pt":
+        from visualslam_tpu.geometry.fivepoint import five_point
+
+        def hypothesis(k):
+            idx = _gumbel_sample_indices(k, valid, 5)
+            cand, cmask = five_point(x1[idx], x2[idx])    # [10, 3, 3]
+            errs = jax.vmap(
+                lambda E: sampson_error(E, x1, x2))(cand)  # [10, M]
+            inls = ((errs < cfg.inlier_threshold) & valid[None]
+                    & cmask[:, None])
+            counts = jnp.sum(inls, axis=1)
+            b = jnp.argmax(counts)
+            return cand[b], inls[b], counts[b]
+    else:
+        def hypothesis(k):
+            idx = _gumbel_sample_indices(k, valid, cfg.sample_size)
+            E = eight_point(x1[idx], x2[idx])
+            err = sampson_error(E, x1, x2)
+            inl = (err < cfg.inlier_threshold) & valid
+            return E, inl, jnp.sum(inl)
 
     Es, inls, counts = jax.vmap(hypothesis)(keys)
     best = jnp.argmax(counts)

@@ -173,6 +173,10 @@ class RansacConfig(_Base):
     sample_size: int = 8                # 8-point algorithm
     inlier_threshold: float = 1.5e-3    # Sampson distance in normalized coords
     seed: int = 0
+    solver: str = "8pt"                 # "8pt" | "5pt" (minimal Nister-style
+    #                                     solver, geometry/fivepoint.py:
+    #                                     ~4x fewer hypotheses at equal
+    #                                     inlier rates)
 
 
 @dataclass(frozen=True)
