@@ -118,8 +118,17 @@ class SyntheticSequence:
         f = 0.6 * w
         self.intrinsics = np.array([f, f, w / 2, h / 2], np.float32)
         self.X = rng.uniform([-30, -15, 15], [30, 15, 60], (n_dots, 3))
-        self.amp = rng.uniform(0.3, 1.0, n_dots).astype(np.float32)
+        # anisotropic signed splats: random orientation/eccentricity and
+        # bright/dark mix give each landmark a distinctive local gradient
+        # structure (identical isotropic blobs all share one descriptor and
+        # matching collapses after a frame or two of viewpoint change)
+        self.amp = (rng.uniform(0.3, 0.85, n_dots)
+                    * rng.choice([-1.0, 1.0], n_dots)).astype(np.float32)
         self.rad = rng.uniform(1.5, 4.0, n_dots).astype(np.float32)
+        self.ecc = rng.uniform(1.0, 2.5, n_dots).astype(np.float32)
+        theta = rng.uniform(0, np.pi, n_dots).astype(np.float32)
+        self.cos_t = np.cos(theta)
+        self.sin_t = np.sin(theta)
         self.step = step
         self.gt_poses = np.stack([self._pose_cw(k)
                                   for k in range(num_frames)])
@@ -150,10 +159,10 @@ class SyntheticSequence:
         fx, fy, cx, cy = self.intrinsics
         u = fx * Xc[:, 0] / np.maximum(z, 1e-6) + cx
         v = fy * Xc[:, 1] / np.maximum(z, 1e-6) + cy
-        img = np.full((self.h, self.w), 0.15, np.float32)
+        img = np.full((self.h, self.w), 0.5, np.float32)
         sel = vis & (u > -8) & (u < self.w + 8) & (v > -8) & (v < self.h + 8)
         if sel.any():
-            # vectorized Gaussian splatting over an 11x11 stencil
+            # vectorized anisotropic Gaussian splatting, 11x11 stencil
             yy, xx = np.mgrid[-5:6, -5:6]
             us, vs = u[sel], v[sel]
             iu = np.round(us).astype(np.int64)
@@ -161,12 +170,18 @@ class SyntheticSequence:
             r_px = np.maximum(self.rad[sel] * 20.0 / z[sel], 0.8)
             dy = yy[None] + (iv - vs)[:, None, None]          # [n, 11, 11]
             dx = xx[None] + (iu - us)[:, None, None]
+            ct = self.cos_t[sel][:, None, None]
+            st = self.sin_t[sel][:, None, None]
+            a = dx * ct + dy * st                  # major axis
+            b = -dx * st + dy * ct                 # minor axis
+            ecc2 = self.ecc[sel][:, None, None] ** 2
             g = self.amp[sel][:, None, None] * np.exp(
-                -(dy * dy + dx * dx) / (2 * r_px[:, None, None] ** 2))
+                -(a * a + b * b * ecc2) / (2 * r_px[:, None, None] ** 2))
             ys = np.clip(iv[:, None, None] + yy[None], 0, self.h - 1)
             xs = np.clip(iu[:, None, None] + xx[None], 0, self.w - 1)
-            np.maximum.at(img, (ys.ravel(), xs.ravel()),
-                          np.minimum(0.15 + g, 1.0).ravel().astype(np.float32))
+            np.add.at(img, (ys.ravel(), xs.ravel()),
+                      g.ravel().astype(np.float32))
+            np.clip(img, 0.02, 1.0, out=img)
         return img
 
     def frames(self) -> Iterator[np.ndarray]:

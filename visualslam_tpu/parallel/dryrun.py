@@ -1,10 +1,14 @@
 """Multi-chip dry run: compile + execute the distributed pipeline on an
 n-device mesh with tiny shapes (driven by __graft_entry__.dryrun_multichip).
 
-Exercises BOTH distributed paths on the same mesh:
-  1. data-parallel SIFT frontend (shard_map over 'data' axis + psum), and
-  2. the sharded Schur-complement bundle-adjustment step (landmark shards,
-     psum'd reduced camera system) — the engine's "training step" analogue.
+Exercises the distributed paths of a full SEQUENCE step on the same mesh:
+  1. data-parallel SIFT frontend (shard_map over 'data' axis + psum),
+  2. the fused per-frame tracking program (slam/track_step.py) — the
+     engine's forward step,
+  3. the landmark-sharded Schur BA (psum'd reduced camera system), and
+  4. the TRAJECTORY-sharded BA over a multi-keyframe window (camera blocks
+     per device, ppermute ring Schur reduce-scatter, distributed CG —
+     parallel/traj_ba.py), i.e. the full-sequence "training step".
 """
 
 from __future__ import annotations
@@ -73,6 +77,89 @@ def _dryrun_ba(n_devices: int) -> None:
     assert float(res.cost) < float(res.initial_cost)
 
 
+def _dryrun_track_step(n_devices: int) -> None:
+    """Compile + run the fused per-frame tracking program on tiny shapes
+    (the sequence step between frontend and backend)."""
+    from visualslam_tpu.models.types import Features, Keypoints
+    from visualslam_tpu.slam.track_step import (
+        KeyframeRef, LocalMap, TrackState, track_step)
+
+    cfg = DEFAULT_CONFIG.replace(
+        sift=DEFAULT_CONFIG.sift.replace(max_keypoints=64),
+        match=DEFAULT_CONFIG.match.replace(max_matches=32),
+        local_map_size=64)
+    rng = np.random.default_rng(2)
+    K, D, Kl = 64, 128, 64
+
+    def feats(seed):
+        r = np.random.default_rng(seed)
+        kps = Keypoints.empty(K)._replace(
+            yx=jnp.asarray(r.uniform(0, 60, (K, 2)).astype(np.float32)),
+            valid=jnp.ones(K, bool))
+        return Features(kps, jnp.asarray(
+            r.standard_normal((K, D)).astype(np.float32)))
+
+    kf = KeyframeRef(desc=feats(0).descriptors, yx=feats(0).keypoints.yx,
+                     kp_valid=jnp.ones(K, bool),
+                     kp_has_lm=jnp.zeros(K, bool),
+                     R=jnp.eye(3), t=jnp.zeros(3))
+    lmap = LocalMap(desc=feats(1).descriptors,
+                    X=jnp.asarray(rng.uniform(-2, 2, (Kl, 3)),
+                                  jnp.float32),
+                    valid=jnp.ones(Kl, bool))
+    state = TrackState(R=jnp.eye(3), t=jnp.zeros(3),
+                       vel=jnp.zeros(6))
+    intr = jnp.asarray([60.0, 60.0, 30.0, 30.0])
+    step = jax.jit(lambda kf, lm, f, s: track_step(
+        kf, lm, f, s, intr, cfg, 10, 100.0))
+    out = step(kf, lmap, feats(2), state)
+    jax.block_until_ready(out.stats)
+    print(f"[dryrun] fused track_step OK (stats[:4]="
+          f"{np.asarray(out.stats[:4]).round(2).tolist()})")
+
+
+def _dryrun_traj_ba(n_devices: int) -> None:
+    """Trajectory-sharded window BA: Cs cameras per device, covisibility
+    landmark partition, ring reduce-scatter Schur assembly, distributed
+    CG solve."""
+    from visualslam_tpu.backend.ba import BAProblem
+    from visualslam_tpu.geometry import se3
+    from visualslam_tpu.parallel.traj_ba import (
+        run_ba_traj_sharded, shard_problem_trajectory, unshard_traj)
+
+    rng = np.random.default_rng(3)
+    C, L = 2 * n_devices, 8 * n_devices      # multi-keyframe window
+    X = rng.uniform([-2, -2, 5], [2, 2, 9], (L, 3))
+    R = np.stack([np.asarray(se3.exp_so3(jnp.asarray(
+        [0.0, 0.01 * c, 0.0]))) for c in range(C)])
+    t = np.stack([np.array([-0.2 * c, 0.0, 0.0]) for c in range(C)])
+    cam_idx = np.tile(np.arange(C), L)
+    lm_idx = np.repeat(np.arange(L), C)
+    Xc = np.einsum("oij,oj->oi", R[cam_idx], X[lm_idx]) + t[cam_idx]
+    uv = Xc[:, :2] / Xc[:, 2:]
+    p = BAProblem(
+        R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
+        X=jnp.asarray(X + rng.normal(0, 0.03, X.shape), jnp.float32),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        lm_idx=jnp.asarray(lm_idx, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_valid=jnp.ones(len(cam_idx), bool),
+        cam_valid=jnp.ones(C, bool), lm_valid=jnp.ones(L, bool),
+    )
+    mesh = make_mesh(n_devices, axis="shard")
+    sp = shard_problem_trajectory(p, n_devices)
+    from visualslam_tpu.utils.config import BAConfig
+
+    res = run_ba_traj_sharded(sp, BAConfig(iters=3, cg_iters=32), mesh)
+    jax.block_until_ready(res)
+    print(f"[dryrun] traj-sharded BA mesh={dict(mesh.shape)} "
+          f"C={C} (x{n_devices} blocks) cost "
+          f"{float(res.initial_cost):.3e} -> {float(res.cost):.3e}")
+    assert float(res.cost) < float(res.initial_cost)
+
+
 def run_dryrun(n_devices: int) -> None:
     _dryrun_frontend(n_devices)
+    _dryrun_track_step(n_devices)
     _dryrun_ba(n_devices)
+    _dryrun_traj_ba(n_devices)
