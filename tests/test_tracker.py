@@ -264,3 +264,30 @@ def test_pipelined_equals_sequential_batched():
 
     assert [r.frame_id for r in results] == list(range(8))
     np.testing.assert_array_equal(t1.trajectory(), t2.trajectory())
+
+
+def test_async_ba_matches_sync(rng):
+    """async_ba defers the window-BA writeback by one keyframe (stage
+    overlap). The trajectory must stay close to the synchronous result —
+    same problems, one-keyframe-later application."""
+    cfg_async = CFG.replace(ba=CFG.ba.replace(async_ba=True))
+    scene = SyntheticScene(np.random.default_rng(3))
+    t_sync = Tracker(CFG, INTR)
+    t_async = Tracker(cfg_async, INTR)
+    gt = []
+    for k in range(14):
+        feats, (R, t) = scene.features(k)
+        # identical features to both trackers
+        t_sync.process_features(feats, k)
+        t_async.process_features(feats, k)
+        gt.append(np.concatenate([R.T, (-R.T @ t)[:, None]], 1))
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses
+
+    gt = np.stack(gt)
+    a_sync = ate_rmse(centers_from_poses(t_sync.trajectory()),
+                      centers_from_poses(gt))
+    a_async = ate_rmse(centers_from_poses(t_async.trajectory()),
+                       centers_from_poses(gt))
+    assert a_async < max(2.0 * a_sync, 0.05), (a_sync, a_async)
+    # the deferred writeback must actually have landed
+    assert t_async.last_ba_cost >= 0

@@ -29,11 +29,16 @@ import os as _os
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU programs only: XLA:CPU caches AOT kernels whose machine-feature
+    # strings don't round-trip (prefer-no-scatter pseudo-features), which
+    # spams errors and risks SIGILL on reload — and CPU compiles are fast
+    # anyway.
+    if "cpu" != str(_jax.config.jax_platforms or "").split(",")[0]:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from visualslam_tpu.utils.config import (  # noqa: F401
     PyramidConfig,

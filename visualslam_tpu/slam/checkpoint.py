@@ -13,6 +13,8 @@ import numpy as np
 
 
 def save_checkpoint(path: str, tracker) -> None:
+    if hasattr(tracker, "_flush_pending_ba"):
+        tracker._flush_pending_ba()     # land any in-flight async window BA
     m = tracker.map
     C = m.window
     blobs = {}

@@ -467,8 +467,10 @@ class Tracker:
         return out
 
     last_ba_cost: float = -1.0
+    _pending_ba = None      # (slots, frame_ids, lm_slots, lm_uids, nC, nL, res)
 
     def _run_window_ba(self) -> None:
+        self._flush_pending_ba()
         cfg = self.cfg.ba
         (slots, R, t, lm_slots, X, cam_idx, lm_idx, uv,
          valid) = self.map.build_ba_arrays(cfg.max_observations)
@@ -494,11 +496,44 @@ class Tracker:
             cam_valid=jnp.asarray(np.arange(C) < nC),
             lm_valid=jnp.asarray(np.arange(L) < nL),
         )
-        res = run_ba_jit(p, cfg)
+        res = run_ba_jit(p, cfg)        # async dispatch either way
+        if cfg.async_ba:
+            # stage overlap (PP analogue): BA computes on-device while the
+            # next frames track; results land at the next keyframe (or any
+            # trajectory/checkpoint consumer). Snapshot identities so slot
+            # recycling between now and then can't corrupt the writeback.
+            self._pending_ba = (slots, self.map.kf_frame_id[slots].copy(),
+                                lm_slots, self.map.lm_uid[lm_slots].copy(),
+                                nC, nL, res)
+            return
         self.last_ba_cost = float(res.cost)
         self.map.writeback_ba(slots, lm_slots,
                               np.asarray(res.R[:nC]), np.asarray(res.t[:nC]),
                               np.asarray(res.X[:nL]))
+
+    def _flush_pending_ba(self) -> None:
+        """Apply an in-flight async window BA (blocks until the device
+        program finishes — by the next keyframe it almost always has)."""
+        if self._pending_ba is None:
+            return
+        slots, fids, lm_slots, uids, nC, nL, res = self._pending_ba
+        self._pending_ba = None
+        R = np.asarray(res.R[:nC])
+        t = np.asarray(res.t[:nC])
+        X = np.asarray(res.X[:nL])
+        self.last_ba_cost = float(res.cost)
+        # only write back entities that still hold the same keyframe /
+        # landmark they held at dispatch time
+        kf_ok = self.map.kf_frame_id[slots] == fids
+        lm_ok = self.map.lm_uid[lm_slots] == uids
+        self.map.kf_R[slots[kf_ok]] = R[kf_ok]
+        self.map.kf_t[slots[kf_ok]] = t[kf_ok]
+        self.map.X[lm_slots[lm_ok]] = X[lm_ok]
+        # the chain pose of the newest keyframe moved; refresh device state
+        last = self.map.last_keyframe_slot()
+        if kf_ok.any() and slots[kf_ok][-1] == last:
+            self._last_R = self.map.kf_R[last].copy()
+            self._last_t = self.map.kf_t[last].copy()
 
     # ------------------------------------------------------------------
 
@@ -510,6 +545,7 @@ class Tracker:
         trajectory axis is sharded across devices."""
         from visualslam_tpu.slam.global_ba import run_global_ba
 
+        self._flush_pending_ba()
         corrected = None
         lc = self.loop_closer
         if lc is not None and lc.corrected is not None:

@@ -196,6 +196,11 @@ class BAConfig(_Base):
     cg_iters: int = 32
     fix_first_camera: bool = True
     fix_gauge_scale: bool = True
+    async_ba: bool = False              # dispatch window BA without blocking;
+    #                                     results are written back at the next
+    #                                     keyframe (stage overlap: BA of
+    #                                     window t runs while frames t+1..
+    #                                     track — the PP analogue)
 
 
 @dataclass(frozen=True)
@@ -257,8 +262,13 @@ DEFAULT_CONFIG = SlamConfig()
 
 # Production / throughput profile: no initial 2x upsample (4x less pyramid +
 # detection work; the upsample exists for small-image SIFT parity — KITTI
-# frames have plenty of resolution without it). Reference-parity behavior
-# stays on DEFAULT_CONFIG.
+# frames have plenty of resolution without it), BA problem sized for the
+# sliding window's actual content instead of worst-case capacity (smaller
+# device program, same math), BA overlapped with tracking (async_ba), and a
+# keyframe threshold matched to the ~50-inlier steady state of wide frames.
+# Reference-parity behavior stays on DEFAULT_CONFIG.
 FAST_CONFIG = SlamConfig(
     pyramid=PyramidConfig(initial_upsample=False, num_octaves=3),
+    ba=BAConfig(max_landmarks=2048, max_observations=4096, async_ba=True),
+    keyframe_min_inliers=25,
 )
