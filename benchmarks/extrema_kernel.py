@@ -1,0 +1,91 @@
+"""A/B benchmark: XLA vs Pallas 26-neighbor extrema scan (reference hot
+loop #1, Diff_of_Gauss.cpp:264-293), plus its effect inside the full SIFT
+frontend. Writes benchmarks/extrema_kernel.json.
+
+Usage: python -m benchmarks.extrema_kernel   (runs on the default device)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(f, args_list, warmup=2, iters=10):
+    for i in range(warmup):
+        jax_block(f(*args_list[i % len(args_list)]))
+    ts = []
+    for i in range(iters):
+        a = args_list[(i + warmup) % len(args_list)]
+        t0 = time.perf_counter()
+        jax_block(f(*a))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def jax_block(x):
+    return float(np.asarray(x))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from visualslam_tpu.frontend import detect_and_describe
+    from visualslam_tpu.ops.extrema import extrema_mask
+    from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
+    from visualslam_tpu.utils.config import FAST_CONFIG
+
+    thr = FAST_CONFIG.sift.contrast_threshold
+    rng = np.random.default_rng(0)
+    out = {"device": str(jax.devices()[0])}
+
+    # --- isolated op: octave-0 DoG stack at KITTI size ---
+    D, H, W = 5, 376, 1248
+    dogs = [jnp.asarray(rng.standard_normal((D, H, W)).astype(np.float32)
+                        * 0.1) for _ in range(4)]
+
+    xla = jax.jit(lambda d: jnp.sum(jnp.where(
+        extrema_mask(d) & (jnp.abs(d) > 0.5 * thr), jnp.abs(d), 0.0)))
+    pls = jax.jit(lambda d: jnp.sum(jnp.where(
+        (s := pallas_extrema_score(d, thr)) > -1e29, s, 0.0)))
+
+    t_xla = timeit(xla, [(d,) for d in dogs])
+    t_pls = timeit(pls, [(d,) for d in dogs])
+    # numerical parity
+    assert abs(float(xla(dogs[0])) - float(pls(dogs[0]))) < 1e-2
+
+    out["op_xla_ms"] = round(t_xla * 1e3, 3)
+    out["op_pallas_ms"] = round(t_pls * 1e3, 3)
+    out["op_speedup"] = round(t_xla / t_pls, 3)
+    # traffic-bound roofline: one read + one write of the [D, H, W] stack
+    bytes_min = 2 * D * H * W * 4
+    out["op_roofline_note"] = (
+        f"lower bound ~{bytes_min / 1e6:.1f} MB HBM traffic; at ~800 GB/s "
+        f"that is ~{bytes_min / 800e9 * 1e3:.3f} ms")
+
+    # --- end-to-end frontend effect ---
+    imgs = [jnp.asarray(rng.random((H, W), dtype=np.float32))
+            for _ in range(4)]
+    for impl in ("xla", "pallas"):
+        cfg = FAST_CONFIG.replace(
+            sift=FAST_CONFIG.sift.replace(extrema_impl=impl))
+        f = jax.jit(lambda im, cfg=cfg: jnp.sum(
+            detect_and_describe(im, cfg).descriptors))
+        out[f"frontend_{impl}_ms"] = round(
+            timeit(f, [(i,) for i in imgs]) * 1e3, 3)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "extrema_kernel.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,3 +40,22 @@ def test_pyramid_pallas_mode_matches_absolute(rng):
                                    np.asarray(ss_a.gauss[o]), atol=3e-5)
         np.testing.assert_allclose(np.asarray(ss_p.dog[o]),
                                    np.asarray(ss_a.dog[o]), atol=6e-5)
+
+
+def test_pallas_extrema_matches_xla(rng):
+    """Fused extrema-score kernel == XLA mask+score path (interpret mode)."""
+    import jax.numpy as jnp
+
+    from visualslam_tpu.ops.extrema import extrema_mask
+    from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
+
+    dog = rng.standard_normal((5, 37, 150)).astype(np.float32) * 0.1
+    thr = 0.03
+    score = pallas_extrema_score(jnp.asarray(dog), thr)
+
+    mask = np.asarray(extrema_mask(jnp.asarray(dog)))
+    want_ok = mask & (np.abs(dog) > 0.5 * thr)
+    got_ok = np.asarray(score) > -1e29
+    np.testing.assert_array_equal(got_ok, want_ok)
+    np.testing.assert_allclose(np.asarray(score)[got_ok],
+                               np.abs(dog)[want_ok], rtol=1e-6)

@@ -138,11 +138,19 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig):
     """
     D, H, W = dog.shape
     k = cfg.max_keypoints_per_octave
-    mask = extrema_mask(dog)
-    score = jnp.abs(dog)
-    # Cheap pre-filter: half the final contrast threshold before refinement
-    # (standard SIFT practice; reference filters only after interpolation).
-    mask &= score > 0.5 * cfg.contrast_threshold
+    if cfg.extrema_impl == "pallas":
+        # fused single-pass kernel: mask+score+pre-filter never hit HBM
+        from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
+
+        score = pallas_extrema_score(dog, cfg.contrast_threshold)
+        mask = score > -1e29
+    else:
+        mask = extrema_mask(dog)
+        score = jnp.abs(dog)
+        # Cheap pre-filter: half the final contrast threshold before
+        # refinement (standard SIFT practice; the reference filters only
+        # after interpolation).
+        mask &= score > 0.5 * cfg.contrast_threshold
 
     idx, sel = block_top_k_select(score.reshape(-1), mask.reshape(-1), k)
     lvl = (idx // (H * W)).astype(jnp.int32)

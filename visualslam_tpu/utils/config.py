@@ -135,6 +135,8 @@ class SiftConfig(_Base):
     localization_offset_max: float = 0.5  # reject if |z-hat| component beyond this * steps
     localize_iters: int = 1             # quadratic-fit refinement iterations
     dense_extrema: bool = True          # dense 26-neighbor scan (ref quirk c uses stride 3)
+    extrema_impl: str = "xla"           # "xla" | "pallas" (fused 26-neighbor
+    #                                     scan kernel, ops/pallas/extrema.py)
 
 
 @dataclass(frozen=True)
