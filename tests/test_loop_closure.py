@@ -234,3 +234,69 @@ def test_verification_rejects_without_landmarks(rng):
                               np.zeros(3, np.float32), feats,
                               np.full(cap, -1), np.zeros((1, 3), np.float32))
         assert lc.detect(idx) is None
+
+
+def test_pose_graph_400_keyframes_out_and_back(rng):
+    """VERDICT r1 item 5 acceptance: an out-and-back trajectory at ~400
+    keyframes (past the 256-node dense floor -> capacity growth + CG
+    solver) must close the loop and correct accumulated drift."""
+    import jax.numpy as jnp
+
+    from visualslam_tpu.geometry import se3
+    from visualslam_tpu.slam.loop_closure import LoopCloser, LoopEdge
+    from visualslam_tpu.utils.config import MatchConfig, PoseGraphConfig
+
+    n = 400
+    pg_cfg = PoseGraphConfig(max_nodes=256, max_edges=1024, iters=15,
+                             solver="cg", cg_iters=128)
+    lc = LoopCloser(np.array([500., 500., 320., 240.], np.float32),
+                    MatchConfig(), pg_cfg)
+
+    # ground truth: out along +z for n/2, back to start; drift: small yaw
+    # bias accumulates each step
+    R_gt, t_gt, R_dr, t_dr = [], [], [], []
+    R, c = np.eye(3), np.zeros(3)
+    Rd, cd = np.eye(3), np.zeros(3)
+    step = np.array([0.0, 0.0, 0.5])
+    for k in range(n):
+        if k == n // 2:
+            turn = np.asarray(se3.exp_so3(jnp.asarray([0.0, np.pi, 0.0])))
+            R = turn @ R
+            Rd = turn @ Rd
+        c = c + R.T @ step
+        R_gt.append(R.copy()); t_gt.append(-R @ c)
+        bias = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002, 0.0])))
+        Rd = bias @ Rd
+        cd = cd + Rd.T @ step
+        R_dr.append(Rd.copy()); t_dr.append(-Rd @ cd)
+
+    # register drifted keyframes directly (entries only need poses here)
+    from visualslam_tpu.slam.loop_closure import KeyframeEntry
+
+    for k in range(n):
+        lc.entries.append(KeyframeEntry(
+            frame_id=k, R=np.asarray(R_dr[k], np.float32),
+            t=np.asarray(t_dr[k], np.float32),
+            global_desc=np.zeros(4, np.float32),
+            desc=np.zeros((1, 4), np.float32),
+            yx=np.zeros((1, 2), np.float32),
+            lm_world=np.zeros((1, 3), np.float32),
+            has_lm=np.zeros(1, bool)))
+    # loop edge: the final keyframe re-observes the first (true relative
+    # pose from ground truth)
+    Rr, tr = se3.relative(jnp.asarray(R_gt[0]), jnp.asarray(t_gt[0]),
+                          jnp.asarray(R_gt[-1]), jnp.asarray(t_gt[-1]))
+    lc.loop_edges.append(LoopEdge(i=0, j=n - 1, R=np.asarray(Rr),
+                                  t=np.asarray(tr), num_inliers=100))
+    centers = lc.optimize(propagate=False)
+    assert centers is not None, "optimize() refused a 400-node graph"
+
+    def center(Rm, tm):
+        return -Rm.T @ tm
+
+    drift_before = np.linalg.norm(center(R_dr[-1], t_dr[-1])
+                                  - center(R_gt[-1], t_gt[-1]))
+    Rn, tn = lc.corrected[-1]
+    drift_after = np.linalg.norm(center(Rn, tn)
+                                 - center(R_gt[-1], t_gt[-1]))
+    assert drift_after < 0.3 * drift_before, (drift_before, drift_after)

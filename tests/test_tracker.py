@@ -27,12 +27,16 @@ CFG = DEFAULT_CONFIG.replace(
 
 
 class SyntheticScene:
-    """Static point cloud + camera path; emits Features per frame."""
+    """Static point cloud + camera path; emits Features per frame.
 
-    def __init__(self, rng, n_points=600, cap=1024):
+    max_depth must cover the camera's travel (z ~ 0.45/frame) or the scene
+    literally runs out of landmarks ahead of the camera."""
+
+    def __init__(self, rng, n_points=600, cap=1024, max_depth=40.0):
         self.rng = rng
         self.cap = cap
-        self.X = rng.uniform([-12, -6, 8], [12, 6, 40], (n_points, 3))
+        self.X = rng.uniform([-12, -6, 8], [12, 6, max_depth],
+                             (n_points, 3))
         self.desc = rng.standard_normal((n_points, 64)).astype(np.float32)
         self.desc /= np.linalg.norm(self.desc, axis=1, keepdims=True)
 
@@ -67,7 +71,9 @@ class SyntheticScene:
 
 
 def run_sequence(rng, n_frames=16, pix_noise=0.3, **tracker_kw):
-    scene = SyntheticScene(rng)
+    # cloud depth + density sized to the trajectory length
+    scene = SyntheticScene(rng, n_points=max(600, 14 * n_frames),
+                           max_depth=max(40.0, 0.45 * n_frames + 30.0))
     tracker = Tracker(CFG, INTR, **tracker_kw)
     gt = []
     for k in range(n_frames):
@@ -291,3 +297,51 @@ def test_async_ba_matches_sync(rng):
     assert a_async < max(2.0 * a_sync, 0.05), (a_sync, a_async)
     # the deferred writeback must actually have landed
     assert t_async.last_ba_cost >= 0
+
+
+def test_tracker_distributed_window_ba(rng):
+    """Tracker(mesh=...) runs the window BA trajectory-sharded across the
+    CPU mesh; the trajectory must match the single-device tracker within
+    solver tolerance."""
+    from visualslam_tpu.parallel.mesh import make_mesh
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses
+
+    cfg = CFG.replace(ba=CFG.ba.replace(max_cameras=8, cg_iters=48))
+    scene = SyntheticScene(np.random.default_rng(5))
+    mesh = make_mesh(4, axis="shard")
+    t_single = Tracker(cfg, INTR)
+    t_dist = Tracker(cfg, INTR, mesh=mesh)
+    gt = []
+    for k in range(12):
+        feats, (R, t) = scene.features(k)
+        t_single.process_features(feats, k)
+        t_dist.process_features(feats, k)
+        gt.append(np.concatenate([R.T, (-R.T @ t)[:, None]], 1))
+    gt = np.stack(gt)
+    a1 = ate_rmse(centers_from_poses(t_single.trajectory()),
+                  centers_from_poses(gt))
+    a2 = ate_rmse(centers_from_poses(t_dist.trajectory()),
+                  centers_from_poses(gt))
+    assert t_dist.last_ba_cost >= 0, "distributed BA never ran"
+    assert a2 < max(2.0 * a1, 0.05), (a1, a2)
+
+
+def test_tracker_100_frame_ate_regression(rng):
+    """Pinned sequence-scale accuracy (VERDICT r1 item 4): 100 frames of
+    the injected-feature scene, local-map tracking + windowed BA. Config =
+    test CFG (keyframe_max_gap=4, 6-camera window); bound chosen ~2x the
+    measured ATE at introduction so real regressions fail, noise doesn't."""
+    tracker, gt = run_sequence(rng, n_frames=100)
+    from visualslam_tpu.slam.evaluation import ate_rmse, centers_from_poses
+
+    ok = [f.tracking_ok for f in tracker.frames]
+    assert np.mean(ok) > 0.97, "tracking lost"
+    inl = np.asarray([f.num_inliers for f in tracker.frames[2:]])
+    # local-map tracking: inlier counts must NOT decay monotonically —
+    # the last quarter holds up against the first quarter
+    q = len(inl) // 4
+    assert inl[-q:].mean() > 0.5 * inl[:q].mean(), (
+        inl[:q].mean(), inl[-q:].mean())
+    ate = ate_rmse(centers_from_poses(tracker.trajectory()),
+                   centers_from_poses(gt))
+    assert ate < 0.8, f"100-frame ATE regression: {ate:.3f} m"

@@ -57,7 +57,11 @@ class Tracker:
     """Monocular tracker with sliding-window BA."""
 
     def __init__(self, cfg: SlamConfig, intrinsics, init_depth: float = 20.0,
-                 run_ba: bool = True, loop_closure: bool | None = None):
+                 run_ba: bool = True, loop_closure: bool | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'shard' axis — window BA
+        (and global_ba unless overridden) runs trajectory-sharded across its
+        devices (parallel/traj_ba.py)."""
         from visualslam_tpu.slam.map_state import SlamMap
 
         if cfg.frontend == "orb" and cfg.match.metric != "hamming":
@@ -68,6 +72,7 @@ class Tracker:
         self.intr = jnp.asarray(intrinsics, jnp.float32)
         self.init_depth = init_depth
         self.run_ba = run_ba
+        self.mesh = mesh
         if loop_closure is None:
             loop_closure = cfg.loop.enabled
         self.loop_closer = None
@@ -496,6 +501,29 @@ class Tracker:
             cam_valid=jnp.asarray(np.arange(C) < nC),
             lm_valid=jnp.asarray(np.arange(L) < nL),
         )
+        if self.mesh is not None:
+            # trajectory-sharded window BA over the device mesh: camera
+            # blocks per device, ring Schur reduce-scatter, distributed CG
+            from visualslam_tpu.parallel.traj_ba import (
+                run_ba_traj_sharded, shard_problem_trajectory, unshard_traj)
+
+            n = self.mesh.shape["shard"]
+            if C % n:       # pad camera capacity to a block multiple
+                extra = n - C % n
+                p = p._replace(
+                    R=jnp.concatenate([p.R, jnp.tile(
+                        jnp.eye(3), (extra, 1, 1))]),
+                    t=jnp.concatenate([p.t, jnp.zeros((extra, 3))]),
+                    cam_valid=jnp.concatenate(
+                        [p.cam_valid, jnp.zeros(extra, bool)]))
+            sp = shard_problem_trajectory(p, n)
+            dres = run_ba_traj_sharded(sp, cfg, self.mesh)
+            Rn, tn, Xn = unshard_traj(dres.R, dres.t, dres.X, sp.lm_order,
+                                      int(p.X.shape[0]))
+            self.last_ba_cost = float(dres.cost)
+            self.map.writeback_ba(slots, lm_slots, Rn[:nC], tn[:nC],
+                                  Xn[:nL])
+            return
         res = run_ba_jit(p, cfg)        # async dispatch either way
         if cfg.async_ba:
             # stage overlap (PP analogue): BA computes on-device while the
@@ -545,6 +573,8 @@ class Tracker:
         trajectory axis is sharded across devices."""
         from visualslam_tpu.slam.global_ba import run_global_ba
 
+        if mesh is None:
+            mesh = self.mesh
         self._flush_pending_ba()
         corrected = None
         lc = self.loop_closer
