@@ -146,11 +146,51 @@ class Tracker:
         return jax.tree_util.tree_map(lambda x: x[i], batched)
 
     def process_batch(self, imgs: np.ndarray, first_frame_id: int):
-        """Detect a batch in one device call, then track frame by frame."""
+        """Detect a batch in one device call, then track with SPECULATIVE
+        dispatch: track_step for every remaining frame of the batch is
+        enqueued back-to-back with the pose chained on device (no host
+        sync between frames), then ONE stats readback drives all the
+        keyframe/loss decisions. When a decision changes the device caches
+        (keyframe inserted, recovery), the later frames' speculative
+        results are stale and re-dispatched — results are identical to
+        per-frame processing, only the dispatch/readback schedule differs
+        (keyframes cost one extra speculation round each)."""
+        B = imgs.shape[0]
         feats_b = self.detect_batch(imgs)
-        return [self.process_features(self.features_at(feats_b, i),
-                                      first_frame_id + i)
-                for i in range(imgs.shape[0])]
+        results: list[FrameResult] = []
+        i = 0
+        while i < B:
+            fid = first_frame_id + i
+            feats_i = self.features_at(feats_b, i)
+            if not self.map.kf_order or not self.map.lm_valid.any():
+                # bootstrap / two-view init are host-driven paths
+                results.append(self.process_features(feats_i, fid))
+                i += 1
+                continue
+            if self._kf_ref is None:
+                self._refresh_device_cache()
+            outs = []
+            for j in range(i, B):
+                out = self._track_step(self._kf_ref, self._lmap,
+                                       self.features_at(feats_b, j),
+                                       self._state, self.intr)
+                outs.append(out)
+                self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
+            stats = jax.device_get([o.stats for o in outs])   # one sync
+            for j, (out, st) in enumerate(zip(outs, stats)):
+                res, disp = self._commit_tracked_frame(
+                    first_frame_id + i + j,
+                    self.features_at(feats_b, i + j), out, st)
+                results.append(res)
+                if disp == "restart":
+                    break
+            else:
+                i = B
+                continue
+            i += j + 1
+            # device state after a restart is set by the commit path
+            # (keyframe) or rebuilt lazily (recovery); discard speculation
+        return results
 
     def process_features(self, feats: Features, frame_id: int) -> FrameResult:
         """Run tracking on precomputed Features (lets tests and alternative
@@ -285,14 +325,22 @@ class Tracker:
             self._refresh_device_cache()
         out = self._track_step(self._kf_ref, self._lmap, feats, self._state,
                                self.intr)
+        self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
         stats = np.asarray(out.stats)            # the one readback per frame
+        res, _ = self._commit_tracked_frame(frame_id, feats, out, stats)
+        return res
+
+    def _commit_tracked_frame(self, frame_id, feats, out, stats):
+        """Apply the host-side decisions for one tracked frame given its
+        stats readback. Returns (FrameResult, disposition) where
+        disposition is "ok" for a plain tracked frame and "restart" when
+        the device caches changed (keyframe insertion, recovery) — any
+        speculatively dispatched later frames are then stale."""
         n_match = int(stats[0])
         n_inl = int(stats[1])
         R = stats[4:13].reshape(3, 3).astype(np.float32)
         t = stats[13:16].astype(np.float32)
         self._vel = stats[16:22].astype(np.float32)
-        # chain pose state on device (no host->device upload next frame)
-        self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
 
         ok = n_inl >= self._track_ok_min
         if not ok:
@@ -303,20 +351,17 @@ class Tracker:
             self._lost_streak += 1
             if self._lost_streak > self.max_lost_frames:
                 from_db = self._recover(feats, frame_id)
-                return self._store_result(frame_id, self._last_R,
-                                          self._last_t,
-                                          num_matches=n_match,
-                                          num_inliers=0, is_keyframe=True,
-                                          tracking_ok=from_db)
+                return self._store_result(
+                    frame_id, self._last_R, self._last_t,
+                    num_matches=n_match, num_inliers=0, is_keyframe=True,
+                    tracking_ok=from_db), "restart"
         else:
             self._lost_streak = 0
 
         self._frames_since_kf += 1
         need_kf = (n_inl < self.cfg.keyframe_min_inliers
                    or self._frames_since_kf >= self.cfg.keyframe_max_gap)
-        is_kf = False
         if need_kf and ok:
-            is_kf = True
             self._insert_keyframe_from_track(feats, frame_id, R, t, out)
             # FrameResult and the velocity chain keep the odometry (PnP)
             # pose so the exported trajectory stays internally consistent
@@ -328,11 +373,11 @@ class Tracker:
             self._state = TrackState(R=jnp.asarray(self._last_R),
                                      t=jnp.asarray(self._last_t),
                                      vel=jnp.asarray(self._vel))
-            return res
+            return res, "restart"
         return self._store_result(frame_id, R, t,
                                   num_matches=n_match,
-                                  num_inliers=n_inl, is_keyframe=is_kf,
-                                  tracking_ok=ok)
+                                  num_inliers=n_inl, is_keyframe=False,
+                                  tracking_ok=ok), "ok"
 
     # ------------------------------------------------------------------
 
