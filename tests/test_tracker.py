@@ -345,3 +345,26 @@ def test_tracker_100_frame_ate_regression(rng):
     ate = ate_rmse(centers_from_poses(tracker.trajectory()),
                    centers_from_poses(gt))
     assert ate < 0.8, f"100-frame ATE regression: {ate:.3f} m"
+
+
+def test_orb_tracker_end_to_end():
+    """ORB frontend through the fused tracker: bit-packed descriptors flow
+    through the local map + hamming matching without dtype mishaps."""
+    from visualslam_tpu.io.kitti import SyntheticSequence
+
+    seq = SyntheticSequence(num_frames=10, h=120, w=160, n_dots=500)
+    info = seq.info()
+    cfg = CFG.replace(
+        frontend="orb",
+        orb=CFG.orb.replace(num_levels=4, max_keypoints=512),
+        keyframe_min_inliers=20,
+        ransac=CFG.ransac.replace(inlier_threshold=4e-3))
+    t = Tracker(cfg, info.intrinsics)
+    assert t.cfg.match.metric == "hamming"
+    imgs = np.stack([seq.frame(k) for k in range(len(seq))])
+    res = t.process_batch(imgs, 0)
+    assert len(res) == 10
+    # the map must have initialized and tracked at least some frames
+    assert t.map.lm_valid.sum() > 20, "ORB two-view init failed"
+    ok = [r.tracking_ok for r in res]
+    assert sum(ok) >= 6, f"ORB tracking mostly lost: {ok}"
