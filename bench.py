@@ -69,8 +69,10 @@ def bench_sequence(jax, jnp, cfg) -> tuple[float, dict]:
     from visualslam_tpu.io.kitti import SyntheticSequence
     from visualslam_tpu.slam.tracker import Tracker
 
+    # landmark density matched to the image area (~the 240x376 world's
+    # density that the CLI default uses)
     seq = SyntheticSequence(num_frames=SEQ_FRAMES + 8, h=376, w=1248,
-                            n_dots=4000, step=0.4)
+                            n_dots=8000, step=0.4)
     info = seq.info()
     frames = np.stack([seq.frame(k) for k in range(len(seq))])
 

@@ -359,8 +359,9 @@ class Tracker:
             self._lost_streak = 0
 
         self._frames_since_kf += 1
-        need_kf = (n_inl < self.cfg.keyframe_min_inliers
-                   or self._frames_since_kf >= self.cfg.keyframe_max_gap)
+        need_kf = (self._frames_since_kf >= self.cfg.keyframe_min_gap
+                   and (n_inl < self.cfg.keyframe_min_inliers
+                        or self._frames_since_kf >= self.cfg.keyframe_max_gap))
         if need_kf and ok:
             self._insert_keyframe_from_track(feats, frame_id, R, t, out)
             # FrameResult and the velocity chain keep the odometry (PnP)

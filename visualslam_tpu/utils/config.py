@@ -248,6 +248,10 @@ class SlamConfig(_Base):
     frontend: str = "sift"              # "sift" | "orb" | "harris"
     keyframe_min_inliers: int = 40
     keyframe_max_gap: int = 5
+    keyframe_min_gap: int = 1           # frames that must pass before the
+    #                                     next keyframe (prevents keyframe-
+    #                                     every-frame churn that evicts the
+    #                                     window before landmarks mature)
     local_map_size: int = 1024          # covisible landmarks tracked per frame
     track_gate: float = 0.05            # local-map match gate: max distance
     #                                     between predicted projection and
@@ -271,6 +275,13 @@ DEFAULT_CONFIG = SlamConfig()
 # Reference-parity behavior stays on DEFAULT_CONFIG.
 FAST_CONFIG = SlamConfig(
     pyramid=PyramidConfig(initial_upsample=False, num_octaves=3),
-    ba=BAConfig(max_landmarks=2048, max_observations=4096, async_ba=True),
+    ba=BAConfig(max_landmarks=4096, max_observations=8192, async_ba=True),
+    # KITTI-width frames carry ~2k useful features (ORB-SLAM uses 2000 at
+    # 1241x376); capacity scales with image area or tracking starves
+    sift=SiftConfig(max_keypoints=2048, max_keypoints_per_octave=1024),
+    orb=OrbConfig(max_keypoints=2048),
+    match=MatchConfig(max_matches=1024),
+    local_map_size=2048,
     keyframe_min_inliers=25,
+    keyframe_min_gap=2,
 )
