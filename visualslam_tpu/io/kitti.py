@@ -107,14 +107,23 @@ class SyntheticSequence:
     a moving pinhole camera. Interface-compatible with
     KittiOdometrySequence so the SLAM CLI/benchmarks run with no dataset.
 
-    The scene is a thick fronto-parallel 'wall' of Gaussian splats at varied
-    depths, giving real parallax and trackable texture."""
+    The scene is a textured corridor (ground plane + two side walls carrying
+    tiled band-limited noise, raycast per frame with distance fade) plus a
+    cloud of Gaussian splats at varied depths. The dense surface texture
+    makes detection repeatable under viewpoint change (real imagery is
+    texture-rich everywhere — a splats-only world starves the contrast
+    threshold and tracking collapses for scene-content reasons); the splats
+    and the plane geometry give real parallax."""
 
     def __init__(self, num_frames: int = 50, h: int = 240, w: int = 376,
-                 n_dots: int = 1500, seed: int = 0, step: float = 0.4):
+                 n_dots: int = 1500, seed: int = 0, step: float = 0.4,
+                 textured: bool = True):
         self.num_frames = num_frames
         rng = np.random.default_rng(seed)
         self.h, self.w = h, w
+        self.textured = textured
+        if textured:
+            self.tex = self._make_texture(rng, 512)
         f = 0.6 * w
         self.intrinsics = np.array([f, f, w / 2, h / 2], np.float32)
         self.X = rng.uniform([-30, -15, 15], [30, 15, 60], (n_dots, 3))
@@ -134,6 +143,78 @@ class SyntheticSequence:
                                   for k in range(num_frames)])
         self.times = np.arange(num_frames) * 0.1
         self.image_size = (h, w)
+
+    _TILE = 64.0        # world units spanned by one texture tile
+
+    @staticmethod
+    def _make_texture(rng, n: int) -> list:
+        """Tileable multi-octave value noise: one random grid per octave
+        (8..256 cells over a 64-world-unit tile). Octaves are sampled
+        SEPARATELY at render time so each can be attenuated by the pixel's
+        world-space footprint — an analytic mipmap; plain bilinear sampling
+        under minification would alias and decorrelate between frames,
+        destroying detection repeatability."""
+        octaves = []
+        amp = 1.0
+        for res in (8, 16, 32, 64, 128, 256):
+            octaves.append((rng.normal(size=(res, res)).astype(np.float32),
+                            amp))
+            amp *= 0.78
+        norm = 0.38 / sum(a for _, a in octaves)
+        return [(g, a * norm * 3.0) for g, a in octaves]
+
+    def _sample_tex(self, a: np.ndarray, b: np.ndarray,
+                    footprint: np.ndarray) -> np.ndarray:
+        """Mip-attenuated octave-sum sample at world coords (a, b).
+        footprint: per-sample world-units-per-pixel on the surface."""
+        out = np.zeros(a.shape, np.float32)
+        for g, amp in self.tex:
+            res = g.shape[0]
+            cell = self._TILE / res
+            # attenuate octaves whose cells are below ~1.5 px on screen
+            w = np.clip(cell / np.maximum(footprint, 1e-6) - 0.5, 0.0, 1.0)
+            if not w.any():
+                continue
+            ua = a * (res / self._TILE)
+            ub = b * (res / self._TILE)
+            i0 = np.floor(ua).astype(np.int64)
+            j0 = np.floor(ub).astype(np.int64)
+            fa = (ua - i0).astype(np.float32)
+            fb = (ub - j0).astype(np.float32)
+            i0 %= res
+            j0 %= res
+            i1 = (i0 + 1) % res
+            j1 = (j0 + 1) % res
+            out += amp * w * (
+                g[i0, j0] * (1 - fa) * (1 - fb) + g[i1, j0] * fa * (1 - fb)
+                + g[i0, j1] * (1 - fa) * fb + g[i1, j1] * fa * fb)
+        return out
+
+    def _background(self, R: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Raycast the textured corridor (ground y=+10, walls x=±18) for a
+        camera at world-to-camera (R, t)."""
+        fx, fy, cx, cy = self.intrinsics
+        C = -R.T @ t                                  # camera center, world
+        vv, uu = np.mgrid[0:self.h, 0:self.w].astype(np.float32)
+        d_c = np.stack([(uu - cx) / fx, (vv - cy) / fy,
+                        np.ones_like(uu)], axis=-1).reshape(-1, 3)
+        d_w = d_c @ R                                 # R^T d per row
+        eps = 1e-9
+        best_s = np.full(d_w.shape[0], np.inf, np.float32)
+        val = np.zeros(d_w.shape[0], np.float32)
+        planes = ((1, 10.0, 0, 2), (0, 18.0, 1, 2), (0, -18.0, 1, 2))
+        for axis, off, ta, tb in planes:
+            da = d_w[:, axis]
+            s = (off - C[axis]) / np.where(np.abs(da) < eps, eps, da)
+            hit = (s > 0.5) & (s < best_s)
+            if not hit.any():
+                continue
+            p = C[None, :] + s[hit, None] * d_w[hit]
+            # world-units-per-pixel at distance s (isotropic approximation)
+            fp = s[hit] / float(fx)
+            val[hit] = self._sample_tex(p[:, ta], p[:, tb], fp)
+            best_s[hit] = s[hit]
+        return (0.5 + val).reshape(self.h, self.w)
 
     def _pose_wc(self, k):
         from visualslam_tpu.geometry import se3
@@ -159,7 +240,11 @@ class SyntheticSequence:
         fx, fy, cx, cy = self.intrinsics
         u = fx * Xc[:, 0] / np.maximum(z, 1e-6) + cx
         v = fy * Xc[:, 1] / np.maximum(z, 1e-6) + cy
-        img = np.full((self.h, self.w), 0.5, np.float32)
+        if self.textured:
+            img = self._background(R.astype(np.float32),
+                                   t.astype(np.float32))
+        else:
+            img = np.full((self.h, self.w), 0.5, np.float32)
         sel = vis & (u > -8) & (u < self.w + 8) & (v > -8) & (v < self.h + 8)
         if sel.any():
             # vectorized anisotropic Gaussian splatting, 11x11 stencil
