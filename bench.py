@@ -41,7 +41,10 @@ def bench_frontend(jax, jnp, cfg) -> float:
 
     h, w = 376, 1248
     rng = np.random.default_rng(0)
-    batches = [jnp.asarray(rng.random((BATCH, h, w), dtype=np.float32))
+    # uint8 frames: what a production loader ships (KITTI is 8-bit); the
+    # frontend normalizes on device. 4x less host->device traffic.
+    batches = [jnp.asarray(rng.integers(0, 256, (BATCH, h, w),
+                                        dtype=np.uint8))
                for _ in range(N_BATCH_BUFFERS)]
 
     @jax.jit
@@ -75,6 +78,8 @@ def bench_sequence(jax, jnp, cfg) -> tuple[float, dict]:
                             n_dots=8000, step=0.4)
     info = seq.info()
     frames = np.stack([seq.frame(k) for k in range(len(seq))])
+    # 8-bit frames, as a production loader would ship them
+    frames = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
 
     # warmup tracker: compiles frontend, track_step, BA programs on the
     # first few frames (incl. one keyframe insertion)

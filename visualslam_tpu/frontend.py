@@ -27,6 +27,11 @@ def detect_and_describe(img: jnp.ndarray, cfg: SlamConfig) -> Features:
 
 
 def _detect_and_describe(img: jnp.ndarray, cfg: SlamConfig) -> Features:
+    if img.dtype == jnp.uint8:
+        # accept 8-bit frames: host->device transfer is 4x smaller (the
+        # relay moves ~50 MB/s; a float32 KITTI batch costs more to ship
+        # than the whole SIFT pipeline costs to run)
+        img = img.astype(jnp.float32) * (1.0 / 255.0)
     if cfg.frontend == "sift":
         from visualslam_tpu.models.sift import detect_and_describe_sift
 

@@ -87,6 +87,10 @@ class LoopCloser:
         # of the tracker's metric
         self.match_cfg = match_cfg.replace(max_matches=sub_keypoints,
                                            metric="l2")
+        # jitted matcher: eagerly-traced match_features is dozens of
+        # per-op dispatches through the relay per verification
+        self._match = jax.jit(
+            lambda fa, fb: match_features(fa, fb, self.match_cfg))
         self.pg_cfg = pg_cfg
         self.sub = sub_keypoints
         self.cos_thresh = cosine_threshold
@@ -119,6 +123,9 @@ class LoopCloser:
         """(desc, valid, resp, yx) as float numpy arrays; bit-packed ORB
         descriptors get unpacked to {0,1} floats (L2 on bit vectors ==
         2x Hamming, so the standard matcher applies unchanged)."""
+        # one batched host fetch (separate np.asarray calls each pay the
+        # relay's per-readback latency — 4x ~28 ms per keyframe)
+        feats = jax.device_get(feats)
         desc = np.asarray(feats.descriptors)
         if desc.dtype == np.uint32:
             desc = np.unpackbits(
@@ -189,10 +196,9 @@ class LoopCloser:
                 yx=jnp.asarray(e.yx), valid=jnp.ones(k, bool))
             return Features(kps, jnp.asarray(e.desc))
 
-        m = match_features(to_feats(a), to_feats(b), self.match_cfg)
-        mv = np.asarray(m.valid)
-        ia = np.asarray(m.idx_a)
-        ib = np.asarray(m.idx_b)
+        m = self._match(to_feats(a), to_feats(b))
+        mv, ia, ib = (np.asarray(a) for a in
+                      jax.device_get((m.valid, m.idx_a, m.idx_b)))
         usable = mv & a.has_lm[ia]
         if usable.sum() < self.min_inliers:
             return None
@@ -290,10 +296,10 @@ class LoopCloser:
                 Keypoints.empty(ke)._replace(yx=jnp.asarray(e.yx),
                                              valid=jnp.ones(ke, bool)),
                 jnp.asarray(e.desc))
-            m = match_features(e_feats, q_feats, self.match_cfg)
-            mv = np.asarray(m.valid)
-            ia = np.asarray(m.idx_a)       # entry side (has landmarks)
-            ib = np.asarray(m.idx_b)       # query side
+            m = self._match(e_feats, q_feats)
+            # entry side (ia) has landmarks; ib is the query side
+            mv, ia, ib = (np.asarray(a) for a in
+                          jax.device_get((m.valid, m.idx_a, m.idx_b)))
             usable = mv & e.has_lm[ia]
             if usable.sum() < self.min_inliers:
                 continue

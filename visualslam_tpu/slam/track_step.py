@@ -76,26 +76,57 @@ class TrackOut(NamedTuple):
     """Everything one frame produces. `stats` packs all per-frame scalars the
     host needs into a single [22] readback:
       [0] 2D-2D match count   [1] PnP inlier count   [2] PnP cost
-      [3] local-map match count   [4:13] R   [13:16] t   [16:22] vel."""
+      [3] local-map match count   [4:13] R   [13:16] t   [16:22] vel.
+
+    The per-match association outputs are packed into TWO buffers (assoc_i,
+    assoc_f) instead of 12 separate arrays: the host fetches them only at
+    keyframes, and each separate array costs a full relay round trip
+    (~10-28 ms each through the remote PJRT tunnel). Unpack host-side with
+    `TrackAssoc.unpack`."""
 
     R: jnp.ndarray
     t: jnp.ndarray
     vel: jnp.ndarray
     stats: jnp.ndarray       # [22] float32
-    # local-map 3D-2D associations (keyframe bookkeeping)
-    lm_slot: jnp.ndarray     # [Ml] int32 local-map slot
-    lm_kp: jnp.ndarray       # [Ml] int32 current keypoint index
-    lm_valid: jnp.ndarray    # [Ml] bool
-    lm_inlier: jnp.ndarray   # [Ml] bool PnP inlier
-    lm_x: jnp.ndarray        # [Ml, 2] normalized observation
-    # 2D-2D matches vs the last keyframe (new-landmark candidates)
-    m_idx_a: jnp.ndarray     # [M] int32 keyframe keypoint
-    m_idx_b: jnp.ndarray     # [M] int32 current keypoint
-    m_valid: jnp.ndarray     # [M] bool
-    m_x1: jnp.ndarray        # [M, 2] normalized coords in keyframe
-    m_x2: jnp.ndarray        # [M, 2] normalized coords in current frame
-    tri_X: jnp.ndarray       # [M, 3] triangulated world points
-    tri_good: jnp.ndarray    # [M] bool passed all acceptance gates
+    assoc_i: jnp.ndarray     # [M, 6] int32, see TrackAssoc
+    assoc_f: jnp.ndarray     # [M, 9] float32, see TrackAssoc
+
+
+class TrackAssoc(NamedTuple):
+    """Host-side unpacked view of TrackOut.assoc_i / assoc_f.
+
+    assoc_i columns: 0 lm_slot, 1 lm_kp, 2 lm flags (bit0 valid&gated,
+    bit1 PnP inlier), 3 m_idx_a, 4 m_idx_b, 5 m flags (bit0 match valid,
+    bit1 triangulation accepted).
+    assoc_f columns: 0:2 lm_x, 2:4 m_x1, 4:6 m_x2, 6:9 tri_X."""
+
+    lm_slot: np.ndarray      # [M] local-map slot
+    lm_kp: np.ndarray        # [M] current keypoint index
+    lm_valid: np.ndarray     # [M] bool (gated)
+    lm_inlier: np.ndarray    # [M] bool PnP inlier
+    lm_x: np.ndarray         # [M, 2] normalized observation
+    m_idx_a: np.ndarray      # [M] keyframe keypoint
+    m_idx_b: np.ndarray      # [M] current keypoint
+    m_valid: np.ndarray      # [M] bool
+    m_x1: np.ndarray         # [M, 2] normalized coords in keyframe
+    m_x2: np.ndarray         # [M, 2] normalized coords in current frame
+    tri_X: np.ndarray        # [M, 3] triangulated world points
+    tri_good: np.ndarray     # [M] bool passed all acceptance gates
+
+    @staticmethod
+    def unpack(assoc_i: np.ndarray, assoc_f: np.ndarray) -> "TrackAssoc":
+        ai = np.asarray(assoc_i)
+        af = np.asarray(assoc_f)
+        return TrackAssoc(
+            lm_slot=ai[:, 0], lm_kp=ai[:, 1],
+            lm_valid=(ai[:, 2] & 1).astype(bool),
+            lm_inlier=(ai[:, 2] & 2).astype(bool),
+            lm_x=af[:, 0:2],
+            m_idx_a=ai[:, 3], m_idx_b=ai[:, 4],
+            m_valid=(ai[:, 5] & 1).astype(bool),
+            tri_good=(ai[:, 5] & 2).astype(bool),
+            m_x1=af[:, 2:4], m_x2=af[:, 4:6], tri_X=af[:, 6:9],
+        )
 
 
 def _local_map_features(lmap: LocalMap) -> Features:
@@ -179,13 +210,15 @@ def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
                    jnp.sum(ml_gated.astype(jnp.float32))]),
         R.reshape(-1), t, vel,
     ])
-    return TrackOut(
-        R=R, t=t, vel=vel, stats=stats,
-        lm_slot=ml.idx_a, lm_kp=ml.idx_b, lm_valid=ml_gated,
-        lm_inlier=pr.inliers, lm_x=x_l,
-        m_idx_a=m.idx_a, m_idx_b=m.idx_b, m_valid=m.valid,
-        m_x1=x1, m_x2=x2, tri_X=Xw, tri_good=tri_good,
-    )
+    assoc_i = jnp.stack([
+        ml.idx_a, ml.idx_b,
+        ml_gated.astype(jnp.int32) | (pr.inliers.astype(jnp.int32) << 1),
+        m.idx_a, m.idx_b,
+        m.valid.astype(jnp.int32) | (tri_good.astype(jnp.int32) << 1),
+    ], axis=1)
+    assoc_f = jnp.concatenate([x_l, x1, x2, Xw], axis=1)
+    return TrackOut(R=R, t=t, vel=vel, stats=stats,
+                    assoc_i=assoc_i, assoc_f=assoc_f)
 
 
 track_step_jit = jax.jit(track_step, static_argnums=(5, 6, 7))

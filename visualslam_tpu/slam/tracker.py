@@ -128,17 +128,25 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def process(self, img: np.ndarray, frame_id: int) -> FrameResult:
-        feats = self._frontend(jnp.asarray(img, jnp.float32))
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32, copy=False)
+        feats = self._frontend(jnp.asarray(img))
         return self.process_features(feats, frame_id)
 
     def detect_batch(self, imgs: np.ndarray) -> Features:
         """Batched detection: [B, H, W] -> Features with leading batch axis.
 
         One TPU execution for B frames (amortizes dispatch overhead; see
-        bench.py notes). Slice per-frame Features with `features_at`."""
+        bench.py notes). Slice per-frame Features with `features_at`.
+        uint8 input is uploaded as-is (4x cheaper transfer) and normalized
+        to [0, 1] float on device."""
         if not hasattr(self, "_frontend_batched"):
             self._frontend_batched = jax.jit(jax.vmap(self._frontend))
-        return self._frontend_batched(jnp.asarray(imgs, jnp.float32))
+        imgs = np.asarray(imgs)
+        if imgs.dtype != np.uint8:
+            imgs = imgs.astype(np.float32, copy=False)
+        return self._frontend_batched(jnp.asarray(imgs))
 
     @staticmethod
     def features_at(batched: Features, i: int) -> Features:
@@ -214,12 +222,18 @@ class Tracker:
         self._last_t = res.t
         return res
 
-    def _new_keyframe(self, feats: Features, frame_id, R, t):
+    def _new_keyframe(self, feats: Features, frame_id, R, t,
+                      feats_np: Optional[Features] = None):
+        """feats_np: host copy of feats, if the caller already fetched one —
+        separate np.asarray readbacks each pay a full relay round trip
+        (~30 ms), one device_get of the whole pytree pays it once."""
+        if feats_np is None:
+            feats_np = jax.device_get(feats)
         slot, _ = self.map.allocate_keyframe()
         self.map.set_keyframe(
             slot, frame_id, np.asarray(R), np.asarray(t),
-            feats.descriptors, np.asarray(feats.keypoints.yx),
-            np.asarray(feats.keypoints.valid))
+            feats_np.descriptors, np.asarray(feats_np.keypoints.yx),
+            np.asarray(feats_np.keypoints.valid))
         self._prev_feats = feats
         self._frames_since_kf = 0
         return slot
@@ -421,11 +435,15 @@ class Tracker:
         step's outputs (TrackOut): tracked-landmark observations from the
         local-map association, new landmarks from the already-triangulated
         + gated 2D-2D matches. The only extra device readback per keyframe
-        is the association pytree (a few KB)."""
-        d = jax.device_get(out)
+        is the two packed association buffers (a few KB)."""
+        from visualslam_tpu.slam.track_step import TrackAssoc
+
+        # ONE host fetch for everything this keyframe needs
+        ai, af, feats_np = jax.device_get((out.assoc_i, out.assoc_f, feats))
+        d = TrackAssoc.unpack(ai, af)
         prev_kf = self.map.last_keyframe_slot()
 
-        slot = self._new_keyframe(feats, frame_id, R, t)
+        slot = self._new_keyframe(feats, frame_id, R, t, feats_np=feats_np)
 
         # 1. observations of tracked (local-map) landmarks
         lm_ids = self._lmap_ids[np.maximum(d.lm_slot, 0)]
@@ -451,11 +469,11 @@ class Tracker:
         self._last_R = self.map.kf_R[slot].copy()
         self._last_t = self.map.kf_t[slot].copy()
 
-        # 4. loop closure
+        # 4. loop closure (gets the already-fetched host copy of feats)
         if self.loop_closer is not None:
             idx = self.loop_closer.add_keyframe(
-                frame_id, self.map.kf_R[slot], self.map.kf_t[slot], feats,
-                self.map.kf_kp_lm[slot], self.map.X)
+                frame_id, self.map.kf_R[slot], self.map.kf_t[slot],
+                feats_np, self.map.kf_kp_lm[slot], self.map.X)
             edge = self.loop_closer.detect(idx)
             if edge is not None:
                 self.num_loop_closures += 1
@@ -580,10 +598,9 @@ class Tracker:
                                 lm_slots, self.map.lm_uid[lm_slots].copy(),
                                 nC, nL, res)
             return
-        self.last_ba_cost = float(res.cost)
-        self.map.writeback_ba(slots, lm_slots,
-                              np.asarray(res.R[:nC]), np.asarray(res.t[:nC]),
-                              np.asarray(res.X[:nL]))
+        Rf, tf, Xf, cost = jax.device_get((res.R, res.t, res.X, res.cost))
+        self.last_ba_cost = float(cost)
+        self.map.writeback_ba(slots, lm_slots, Rf[:nC], tf[:nC], Xf[:nL])
 
     def _flush_pending_ba(self) -> None:
         """Apply an in-flight async window BA (blocks until the device
@@ -592,10 +609,13 @@ class Tracker:
             return
         slots, fids, lm_slots, uids, nC, nL, res = self._pending_ba
         self._pending_ba = None
-        R = np.asarray(res.R[:nC])
-        t = np.asarray(res.t[:nC])
-        X = np.asarray(res.X[:nL])
-        self.last_ba_cost = float(res.cost)
+        # ONE host fetch of the full (fixed-shape) arrays, sliced in numpy:
+        # eager device-side slices like res.R[:nC] would compile a fresh
+        # slice program per distinct window size (~1.3 s per keyframe
+        # through the remote relay)
+        Rf, tf, Xf, cost = jax.device_get((res.R, res.t, res.X, res.cost))
+        R, t, X = Rf[:nC], tf[:nC], Xf[:nL]
+        self.last_ba_cost = float(cost)
         # only write back entities that still hold the same keyframe /
         # landmark they held at dispatch time
         kf_ok = self.map.kf_frame_id[slots] == fids
