@@ -61,13 +61,17 @@ def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
                       cfg: SiftConfig) -> _OctaveKps:
     """Assign up to cfg.max_orientations orientations per candidate, then
     re-select the per-octave top-K among the spawned keypoints."""
-    k = cfg.max_keypoints_per_octave
+    k = lvl.shape[0]        # keep the octave's (possibly decayed) capacity
     win = cfg.orientation_window
     yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
 
     glvl = lvl - ss.grad_level_offset
-    mag = extract_patches(ss.grad_mag[octave], yx_int, win, level_idx=glvl)
-    ori = extract_patches(ss.grad_ori[octave], yx_int, win, level_idx=glvl)
+    # one channelized gather for (mag, ori); the stack is CSE-shared with
+    # describe_octave's identical stack inside the same jitted program
+    mag_ori = jnp.stack([ss.grad_mag[octave], ss.grad_ori[octave]], axis=-1)
+    both = extract_patches(mag_ori, yx_int, win, level_idx=glvl)  # [K,S,S,2]
+    mag = both[..., 0]
+    ori = both[..., 1]
 
     # sigma of the (refined) level in octave-pixel units
     lvl_f = lvl.astype(jnp.float32) + offset[:, 0]
@@ -77,7 +81,8 @@ def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
     hist = soft_histogram(ori.reshape(-1, win * win),
                           (mag * w).reshape(-1, win * win),
                           cfg.num_orientation_bins, 360.0,
-                          interpolate=True)                      # [K, 36]
+                          interpolate=True,
+                          compute_dtype=cfg.hist_compute_dtype)  # [K, 36]
     angles, _, peak_valid = histogram_peaks(
         hist, cfg.max_orientations, cfg.orientation_peak_ratio, 360.0)
 
@@ -145,15 +150,9 @@ def describe_octave(ss: ScaleSpace, octave: int, kps: _OctaveKps,
                                                   cell * cell)
 
     wmag = to_regions(mag * w_spatial[None])
-    pos = to_regions(ori_rel) * (nbins / 360.0)
-    b0f = jnp.floor(pos - 0.5)
-    frac = pos - 0.5 - b0f
-    b0 = jnp.mod(b0f.astype(jnp.int32), nbins)
-    b1 = jnp.mod(b0 + 1, nbins)
-    oh0 = jax.nn.one_hot(b0, nbins, dtype=mag.dtype)   # [K, R, P, 8]
-    oh1 = jax.nn.one_hot(b1, nbins, dtype=mag.dtype)
-    hist = (jnp.einsum("krp,krpb->krb", wmag * (1.0 - frac), oh0)
-            + jnp.einsum("krp,krpb->krb", wmag * frac, oh1))     # [K, R, 8]
+    hist = soft_histogram(to_regions(ori_rel), wmag, nbins, 360.0,
+                          interpolate=True,
+                          compute_dtype=cfg.hist_compute_dtype)  # [K, R, 8]
     desc = hist.reshape(K, D)
 
     if cfg.descriptor_norm == "max":
@@ -182,7 +181,8 @@ def detect_and_describe_sift(img: jnp.ndarray, pyr_cfg: PyramidConfig,
 
     per_oct = []
     for o in range(pyr_cfg.num_octaves):
-        lvl, y, x, offset, resp, valid = detect_extrema(ss.dog[o], cfg)
+        lvl, y, x, offset, resp, valid = detect_extrema(
+            ss.dog[o], cfg, capacity=cfg.octave_capacity(o))
         kps = _orientation_pass(ss, o, lvl, y, x, offset, resp, valid,
                                 pyr_cfg, cfg)
         desc = describe_octave(ss, o, kps, cfg)

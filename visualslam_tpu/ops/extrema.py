@@ -62,10 +62,19 @@ class Localized(NamedTuple):
 
 def gather_cubes(dog: jnp.ndarray, lvl: jnp.ndarray, y: jnp.ndarray,
                  x: jnp.ndarray) -> jnp.ndarray:
-    """Gather [K, 3, 3, 3] neighborhoods centered at (lvl, y, x) (interior)."""
-    def one(l, yy, xx):
-        return jax.lax.dynamic_slice(dog, (l - 1, yy - 1, xx - 1), (3, 3, 3))
-    return jax.vmap(one)(lvl, y, x)
+    """Gather [K, 3, 3, 3] neighborhoods centered at (lvl, y, x) (interior).
+
+    One flat [K, 27] take — a vmapped dynamic_slice lowers to a gather of
+    K strided sub-arrays, ~10x slower on TPU than a single element gather
+    with precomputed neighbor offsets."""
+    D, H, W = dog.shape
+    base = (lvl * H + y) * W + x                                # [K]
+    offs = jnp.asarray([(dl * H + dy) * W + dx
+                        for dl in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)], jnp.int32)       # [27]
+    idx = base[:, None] + offs[None, :]
+    return jnp.take(dog.reshape(-1), idx, axis=0).reshape(-1, 3, 3, 3)
 
 
 def localize(cubes: jnp.ndarray, cfg: SiftConfig) -> Localized:
@@ -128,16 +137,18 @@ def localize(cubes: jnp.ndarray, cfg: SiftConfig) -> Localized:
                      converged=converged)
 
 
-def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig):
+def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig,
+                   capacity: int | None = None):
     """Full per-octave candidate detection.
 
     dog: [D, H, W] DoG stack of one octave. Returns
     (lvl[K], y[K], x[K], offset[K,3], score[K], valid[K]) with
-    K = cfg.max_keypoints_per_octave; (y, x) are integer grid positions,
-    offset the clamped sub-pixel refinement (ds, dy, dx).
+    K = capacity (default cfg.max_keypoints_per_octave); (y, x) are
+    integer grid positions, offset the clamped sub-pixel refinement
+    (ds, dy, dx).
     """
     D, H, W = dog.shape
-    k = cfg.max_keypoints_per_octave
+    k = capacity if capacity is not None else cfg.max_keypoints_per_octave
     if cfg.extrema_impl == "pallas":
         # fused single-pass kernel: mask+score+pre-filter never hit HBM
         from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score

@@ -18,26 +18,35 @@ import jax.numpy as jnp
 
 
 def soft_histogram(values: jnp.ndarray, weights: jnp.ndarray, num_bins: int,
-                   period: float, interpolate: bool = True) -> jnp.ndarray:
+                   period: float, interpolate: bool = True,
+                   compute_dtype=None) -> jnp.ndarray:
     """Weighted circular histogram over the last axis.
 
     values: [..., P] in [0, period); weights: [..., P].
-    Returns [..., num_bins]. With interpolate=True each sample splits
-    linearly between its two nearest bins (trilinear-style soft binning);
-    with False it's nearest-bin (the reference's quirk (d) behavior, minus
-    the bin-36 overflow bug — we wrap).
+    Returns [..., num_bins] float32. With interpolate=True each sample
+    splits linearly between its two nearest bins (trilinear-style soft
+    binning); with False it's nearest-bin (the reference's quirk (d)
+    behavior, minus the bin-36 overflow bug — we wrap).
+
+    The interpolated path evaluates the circular triangle kernel
+    tri(pos - center_b) densely and contracts it against the weights with
+    one einsum — a single [..., P, B] intermediate the MXU consumes
+    directly (the two-one-hot formulation materializes 3x the traffic).
+    compute_dtype=jnp.bfloat16 halves that intermediate again;
+    accumulation stays float32 (histogram peak ratios tolerate ~1e-2
+    relative error; the default float32 path is exact).
     """
     pos = values * (num_bins / period)                      # [..., P] in [0, B)
     if interpolate:
-        b0 = jnp.floor(pos - 0.5)
-        frac = pos - 0.5 - b0
-        b0 = jnp.mod(b0.astype(jnp.int32), num_bins)
-        b1 = jnp.mod(b0 + 1, num_bins)
-        oh0 = jax.nn.one_hot(b0, num_bins, dtype=weights.dtype)
-        oh1 = jax.nn.one_hot(b1, num_bins, dtype=weights.dtype)
-        w0 = (weights * (1.0 - frac))[..., None]
-        w1 = (weights * frac)[..., None]
-        return jnp.sum(oh0 * w0 + oh1 * w1, axis=-2)
+        centers = jnp.arange(num_bins, dtype=pos.dtype) + 0.5
+        d = pos[..., None] - centers                        # [..., P, B]
+        d = jnp.mod(d + num_bins / 2.0, num_bins) - num_bins / 2.0
+        tri = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        if compute_dtype is not None:
+            tri = tri.astype(compute_dtype)
+            weights = weights.astype(compute_dtype)
+        return jnp.einsum("...pb,...p->...b", tri, weights,
+                          preferred_element_type=jnp.float32)
     b = jnp.mod(jnp.floor(pos).astype(jnp.int32), num_bins)
     oh = jax.nn.one_hot(b, num_bins, dtype=weights.dtype)
     return jnp.sum(oh * weights[..., None], axis=-2)

@@ -21,24 +21,35 @@ def extract_patches(img: jnp.ndarray, yx: jnp.ndarray, size: int,
                     level_idx: jnp.ndarray | None = None) -> jnp.ndarray:
     """Crop [K, size, size] windows centered at yx (rounded to int).
 
-    img: [H, W] or [L, H, W] (with level_idx [K] selecting the leading axis).
+    img: [H, W] or [L, H, W] (with level_idx [K] selecting the leading
+    axis), optionally with a trailing channel axis C ([H, W, C] /
+    [L, H, W, C]) — channels are cropped in the SAME gather, which halves
+    the gather cost vs one extract per channel.
     Windows are clamped inside the image — equivalent to the reference's
     replicate-padded octave reads only near borders (clamp shifts the window
     instead of replicating; detection margins keep keypoints off borders).
     """
-    H, W = img.shape[-2:]
+    channels = img.ndim - (2 if level_idx is None else 3)
+    H, W = img.shape[-2 - channels: img.ndim - channels]
     r = size // 2
     y0 = jnp.clip(jnp.round(yx[:, 0]).astype(jnp.int32) - r, 0, H - size)
     x0 = jnp.clip(jnp.round(yx[:, 1]).astype(jnp.int32) - r, 0, W - size)
 
-    if img.ndim == 2:
-        def crop(y, x):
-            return jax.lax.dynamic_slice(img, (y, x), (size, size))
-        return jax.vmap(crop)(y0, x0)
-
-    def crop_l(lvl, y, x):
-        return jax.lax.dynamic_slice(img, (lvl, y, x), (1, size, size))[0]
-    return jax.vmap(crop_l)(level_idx, y0, x0)
+    # One flat element gather (a vmapped dynamic_slice lowers to a gather
+    # of K strided sub-arrays — ~10x slower on TPU). Flat row index =
+    # ((lvl*H) + y0+dy)*W + x0+dx; a trailing channel axis rides along by
+    # gathering rows of the [L*H*W, C] view.
+    if level_idx is None:
+        base = y0 * W + x0
+    else:
+        base = (level_idx * H + y0) * W + x0                    # [K]
+    dy = jnp.arange(size, dtype=jnp.int32)[:, None] * W
+    dx = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = base[:, None, None] + (dy + dx)[None]                 # [K, S, S]
+    if channels:
+        flat = img.reshape(-1, img.shape[-1])
+        return jnp.take(flat, idx, axis=0)                      # [K, S, S, C]
+    return jnp.take(img.reshape(-1), idx, axis=0)               # [K, S, S]
 
 
 def sample_bilinear(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

@@ -137,6 +137,26 @@ class SiftConfig(_Base):
     dense_extrema: bool = True          # dense 26-neighbor scan (ref quirk c uses stride 3)
     extrema_impl: str = "xla"           # "xla" | "pallas" (fused 26-neighbor
     #                                     scan kernel, ops/pallas/extrema.py)
+    hist_compute: str = "f32"           # "f32" (exact) | "bf16": histogram
+    #                                     triangle-kernel einsum input dtype
+    #                                     (~1e-2 relative error, half the
+    #                                     HBM traffic; accumulation is f32)
+    octave_capacity_decay: bool = False  # halve candidate capacity per
+    #                                     octave (octave o has 1/4^o the
+    #                                     pixels; flat capacity wastes
+    #                                     gather/histogram work on slots
+    #                                     that can never fill)
+
+    @property
+    def hist_compute_dtype(self):
+        import jax.numpy as _jnp
+
+        return _jnp.bfloat16 if self.hist_compute == "bf16" else None
+
+    def octave_capacity(self, octave: int) -> int:
+        if not self.octave_capacity_decay:
+            return self.max_keypoints_per_octave
+        return max(self.max_keypoints_per_octave >> octave, 128)
 
 
 @dataclass(frozen=True)
@@ -278,7 +298,8 @@ FAST_CONFIG = SlamConfig(
     ba=BAConfig(max_landmarks=4096, max_observations=8192, async_ba=True),
     # KITTI-width frames carry ~2k useful features (ORB-SLAM uses 2000 at
     # 1241x376); capacity scales with image area or tracking starves
-    sift=SiftConfig(max_keypoints=2048, max_keypoints_per_octave=1024),
+    sift=SiftConfig(max_keypoints=2048, max_keypoints_per_octave=1024,
+                    hist_compute="bf16", octave_capacity_decay=True),
     orb=OrbConfig(max_keypoints=2048),
     match=MatchConfig(max_matches=1024),
     local_map_size=2048,
