@@ -129,21 +129,49 @@ class TrackAssoc(NamedTuple):
         )
 
 
+def index_features(fb: Features, i: jnp.ndarray) -> Features:
+    """Select frame i from batched Features INSIDE a jitted program.
+
+    Host-side `features_at` slicing dispatches one eager slice execution
+    per pytree leaf (~6 per frame); traced indexing is free."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, keepdims=False), fb)
+
+
 def _local_map_features(lmap: LocalMap) -> Features:
     k = lmap.desc.shape[0]
     kps = Keypoints.empty(k)._replace(valid=lmap.valid)
     return Features(kps, lmap.desc)
 
 
-def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
-               state: TrackState, intr: jnp.ndarray, cfg: SlamConfig,
-               min_inliers: int, max_depth: float) -> TrackOut:
-    """One frame of tracking as a single traceable program.
+class TrackLite(NamedTuple):
+    """Per-frame tracking result (no keyframe products). The local-map
+    association stays on device; it feeds keyframe_step when the host
+    promotes the frame."""
+
+    R: jnp.ndarray
+    t: jnp.ndarray
+    vel: jnp.ndarray
+    stats: jnp.ndarray       # [22], same layout as TrackOut.stats
+    ml_idx_a: jnp.ndarray    # [M] local-map slot
+    ml_idx_b: jnp.ndarray    # [M] current keypoint
+    ml_gated: jnp.ndarray    # [M] bool valid & projection-gated
+    ml_inlier: jnp.ndarray   # [M] bool PnP inlier
+    ml_x: jnp.ndarray        # [M, 2] normalized observation
+    ok: jnp.ndarray          # [] bool tracking accepted
+
+
+def track_step_lite(lmap: LocalMap, feats: Features, state: TrackState,
+                    intr: jnp.ndarray, cfg: SlamConfig,
+                    min_inliers: int) -> TrackLite:
+    """Every-frame tracking: local-map 3D-2D association + motion-only PnP
+    + constant-velocity update. The keyframe products (2D-2D match vs the
+    last keyframe, triangulation) live in keyframe_step — paying them per
+    frame doubles the per-frame device time for outputs only ~1-in-5
+    frames (keyframes) consume.
 
     min_inliers: PnP inliers below which the frame falls back to the
-    constant-velocity prediction (host decides recovery). max_depth: new
-    landmarks beyond this depth (in camera-1 frame) are rejected.
-    """
+    constant-velocity prediction (host decides recovery)."""
     # ---- 1. local-map 3D-2D association ------------------------------
     ml = match_features(_local_map_features(lmap), feats, cfg.match)
     uv_l = feats.keypoints.yx[ml.idx_b][:, ::-1]
@@ -174,7 +202,28 @@ def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
     Rrel, trel = se3.compose(R, t, Ri, ti)
     vel = jnp.where(ok, se3.se3_log(Rrel, trel), state.vel)
 
-    # ---- 4. 2D-2D match vs last keyframe + triangulation -------------
+    n_gated = jnp.sum(ml_gated.astype(jnp.float32))
+    stats = jnp.concatenate([
+        jnp.stack([n_gated,
+                   pr.num_inliers.astype(jnp.float32),
+                   pr.cost,
+                   n_gated]),
+        R.reshape(-1), t, vel,
+    ])
+    return TrackLite(R=R, t=t, vel=vel, stats=stats,
+                     ml_idx_a=ml.idx_a, ml_idx_b=ml.idx_b,
+                     ml_gated=ml_gated, ml_inlier=pr.inliers, ml_x=x_l,
+                     ok=ok)
+
+
+def keyframe_step(kf: KeyframeRef, feats: Features, lite: TrackLite,
+                  intr: jnp.ndarray, cfg: SlamConfig,
+                  max_depth: float) -> TrackOut:
+    """Keyframe products for a frame already tracked by track_step_lite:
+    2D-2D match vs the last keyframe + DLT triangulation + acceptance
+    gates for new landmarks. max_depth: new landmarks beyond this depth
+    (in the keyframe's camera frame) are rejected."""
+    R, t = lite.R, lite.t
     kf_feats = Features(
         Keypoints.empty(kf.desc.shape[0])._replace(yx=kf.yx,
                                                    valid=kf.kp_valid),
@@ -196,29 +245,34 @@ def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
                          axis=1)
     # current keypoints already associated to a landmark this frame must not
     # spawn duplicates
-    assoc = jnp.zeros(feats.capacity, jnp.int32).at[ml.idx_b].max(
-        (ml_gated & pr.inliers).astype(jnp.int32)) > 0
+    assoc = jnp.zeros(feats.capacity, jnp.int32).at[lite.ml_idx_b].max(
+        (lite.ml_gated & lite.ml_inlier).astype(jnp.int32)) > 0
     fresh = ~kf.kp_has_lm[m.idx_a] & ~assoc[m.idx_b]
-    tri_good = (m.valid & fresh & ok
+    tri_good = (m.valid & fresh & lite.ok
                 & (z1 > 1e-3) & (z2 > 1e-3) & (z1 < max_depth)
                 & (r1 < 6e-3) & (r2 < 6e-3))
 
-    stats = jnp.concatenate([
-        jnp.stack([m.count().astype(jnp.float32),
-                   pr.num_inliers.astype(jnp.float32),
-                   pr.cost,
-                   jnp.sum(ml_gated.astype(jnp.float32))]),
-        R.reshape(-1), t, vel,
-    ])
+    stats = lite.stats.at[0].set(m.count().astype(jnp.float32))
     assoc_i = jnp.stack([
-        ml.idx_a, ml.idx_b,
-        ml_gated.astype(jnp.int32) | (pr.inliers.astype(jnp.int32) << 1),
+        lite.ml_idx_a, lite.ml_idx_b,
+        lite.ml_gated.astype(jnp.int32)
+        | (lite.ml_inlier.astype(jnp.int32) << 1),
         m.idx_a, m.idx_b,
         m.valid.astype(jnp.int32) | (tri_good.astype(jnp.int32) << 1),
     ], axis=1)
-    assoc_f = jnp.concatenate([x_l, x1, x2, Xw], axis=1)
-    return TrackOut(R=R, t=t, vel=vel, stats=stats,
+    assoc_f = jnp.concatenate([lite.ml_x, x1, x2, Xw], axis=1)
+    return TrackOut(R=R, t=t, vel=lite.vel, stats=stats,
                     assoc_i=assoc_i, assoc_f=assoc_f)
+
+
+def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
+               state: TrackState, intr: jnp.ndarray, cfg: SlamConfig,
+               min_inliers: int, max_depth: float) -> TrackOut:
+    """One frame of tracking as a single traceable program — the
+    composition of track_step_lite + keyframe_step (kept for callers that
+    want everything in one dispatch, e.g. the multichip dryrun)."""
+    lite = track_step_lite(lmap, feats, state, intr, cfg, min_inliers)
+    return keyframe_step(kf, feats, lite, intr, cfg, max_depth)
 
 
 track_step_jit = jax.jit(track_step, static_argnums=(5, 6, 7))

@@ -37,7 +37,9 @@ from visualslam_tpu.slam.track_step import (
     LocalMap,
     TrackState,
     build_local_map,
-    track_step,
+    index_features,
+    keyframe_step,
+    track_step_lite,
 )
 from visualslam_tpu.utils.config import SlamConfig
 
@@ -110,15 +112,22 @@ class Tracker:
                 x1, x2, v, cfg.ransac, k))
         self._key = jax.random.PRNGKey(cfg.ransac.seed)
 
-        # fused per-frame tracking program (slam/track_step.py): everything
+        # fused per-frame tracking programs (slam/track_step.py): everything
         # between the frontend and the keyframe bookkeeping is ONE device
-        # execution; pose state chains device-to-device between frames
+        # execution per frame (lite), plus one keyframe-products execution
+        # on the ~1-in-5 frames that get promoted; pose state chains
+        # device-to-device between frames
         self._track_ok_min = max(10, cfg.keyframe_min_inliers // 3)
         max_depth = float(init_depth) * 20.0
-        self._track_step = jax.jit(
-            lambda kf, lmap, feats, state, intr: track_step(
-                kf, lmap, feats, state, intr, cfg,
-                self._track_ok_min, max_depth))
+        self._track_lite = jax.jit(
+            lambda lmap, fb, i, state, intr: track_step_lite(
+                lmap, index_features(fb, i), state, intr, cfg,
+                self._track_ok_min))
+
+        def _kf(kf, fb, i, lite, intr):
+            f1 = index_features(fb, i)
+            return keyframe_step(kf, f1, lite, intr, cfg, max_depth), f1
+        self._kf_step = jax.jit(_kf)
         # device-side caches, rebuilt at every keyframe / correction
         self._kf_ref: Optional[KeyframeRef] = None
         self._lmap: Optional[LocalMap] = None
@@ -143,10 +152,22 @@ class Tracker:
         to [0, 1] float on device."""
         if not hasattr(self, "_frontend_batched"):
             self._frontend_batched = jax.jit(jax.vmap(self._frontend))
+        if not isinstance(imgs, jax.Array):
+            imgs = np.asarray(imgs)
+            if imgs.dtype != np.uint8:
+                imgs = imgs.astype(np.float32, copy=False)
+            imgs = jnp.asarray(imgs)
+        return self._frontend_batched(imgs)
+
+    def upload_batch(self, imgs: np.ndarray) -> jax.Array:
+        """Explicit host->device upload of a frame batch. Call from a
+        prefetch thread to overlap the next batch's transfer with the
+        current batch's compute, then pass the device array to
+        process_batch."""
         imgs = np.asarray(imgs)
         if imgs.dtype != np.uint8:
             imgs = imgs.astype(np.float32, copy=False)
-        return self._frontend_batched(jnp.asarray(imgs))
+        return jax.device_put(imgs)
 
     @staticmethod
     def features_at(batched: Features, i: int) -> Features:
@@ -179,16 +200,14 @@ class Tracker:
                 self._refresh_device_cache()
             outs = []
             for j in range(i, B):
-                out = self._track_step(self._kf_ref, self._lmap,
-                                       self.features_at(feats_b, j),
+                out = self._track_lite(self._lmap, feats_b, np.int32(j),
                                        self._state, self.intr)
                 outs.append(out)
                 self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
             stats = jax.device_get([o.stats for o in outs])   # one sync
             for j, (out, st) in enumerate(zip(outs, stats)):
                 res, disp = self._commit_tracked_frame(
-                    first_frame_id + i + j,
-                    self.features_at(feats_b, i + j), out, st)
+                    first_frame_id + i + j, feats_b, i + j, out, st)
                 results.append(res)
                 if disp == "restart":
                     break
@@ -337,14 +356,16 @@ class Tracker:
     def _track(self, feats, frame_id) -> FrameResult:
         if self._kf_ref is None:
             self._refresh_device_cache()
-        out = self._track_step(self._kf_ref, self._lmap, feats, self._state,
+        # pseudo-batch of one: the tracking programs index batched Features
+        fb = jax.tree_util.tree_map(lambda x: x[None], feats)
+        out = self._track_lite(self._lmap, fb, np.int32(0), self._state,
                                self.intr)
         self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
         stats = np.asarray(out.stats)            # the one readback per frame
-        res, _ = self._commit_tracked_frame(frame_id, feats, out, stats)
+        res, _ = self._commit_tracked_frame(frame_id, fb, 0, out, stats)
         return res
 
-    def _commit_tracked_frame(self, frame_id, feats, out, stats):
+    def _commit_tracked_frame(self, frame_id, fb, idx, out, stats):
         """Apply the host-side decisions for one tracked frame given its
         stats readback. Returns (FrameResult, disposition) where
         disposition is "ok" for a plain tracked frame and "restart" when
@@ -364,7 +385,8 @@ class Tracker:
             # gap; a fresh two-view init restarts mapping).
             self._lost_streak += 1
             if self._lost_streak > self.max_lost_frames:
-                from_db = self._recover(feats, frame_id)
+                from_db = self._recover(self.features_at(fb, idx),
+                                        frame_id)
                 return self._store_result(
                     frame_id, self._last_R, self._last_t,
                     num_matches=n_match, num_inliers=0, is_keyframe=True,
@@ -377,7 +399,7 @@ class Tracker:
                    and (n_inl < self.cfg.keyframe_min_inliers
                         or self._frames_since_kf >= self.cfg.keyframe_max_gap))
         if need_kf and ok:
-            self._insert_keyframe_from_track(feats, frame_id, R, t, out)
+            self._insert_keyframe_from_track(fb, idx, frame_id, R, t, out)
             # FrameResult and the velocity chain keep the odometry (PnP)
             # pose so the exported trajectory stays internally consistent
             # with the non-keyframe frames around it; the BA-adjusted pose
@@ -430,7 +452,7 @@ class Tracker:
         self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
         self._kf_ref = None     # stale until the next two-view init succeeds
 
-    def _insert_keyframe_from_track(self, feats, frame_id, R, t, out):
+    def _insert_keyframe_from_track(self, fb, idx, frame_id, R, t, out):
         """Promote the current frame to a keyframe using the fused track
         step's outputs (TrackOut): tracked-landmark observations from the
         local-map association, new landmarks from the already-triangulated
@@ -438,8 +460,15 @@ class Tracker:
         is the two packed association buffers (a few KB)."""
         from visualslam_tpu.slam.track_step import TrackAssoc
 
+        # keyframe products (2D-2D match vs last keyframe, triangulation)
+        # are computed only now — on the frame actually being promoted;
+        # the program also returns the sliced single-frame Features so the
+        # host never slices the batched pytree eagerly
+        full, feats = self._kf_step(self._kf_ref, fb, np.int32(idx), out,
+                                    self.intr)
         # ONE host fetch for everything this keyframe needs
-        ai, af, feats_np = jax.device_get((out.assoc_i, out.assoc_f, feats))
+        ai, af, feats_np = jax.device_get(
+            (full.assoc_i, full.assoc_f, feats))
         d = TrackAssoc.unpack(ai, af)
         prev_kf = self.map.last_keyframe_slot()
 
@@ -539,7 +568,13 @@ class Tracker:
     _pending_ba = None      # (slots, frame_ids, lm_slots, lm_uids, nC, nL, res)
 
     def _run_window_ba(self) -> None:
-        self._flush_pending_ba()
+        # lazy flush: if the previous async BA hasn't finished, let it ride
+        # — its writeback lands at the NEXT keyframe (the map lags one more
+        # window; PnP re-anchors against the map every frame so the
+        # trajectory absorbs the correction when it lands)
+        self._flush_pending_ba(wait=False)
+        if self._pending_ba is not None:
+            return      # previous window still optimizing; skip this one
         cfg = self.cfg.ba
         (slots, R, t, lm_slots, X, cam_idx, lm_idx, uv,
          valid) = self.map.build_ba_arrays(cfg.max_observations)
@@ -602,12 +637,21 @@ class Tracker:
         self.last_ba_cost = float(cost)
         self.map.writeback_ba(slots, lm_slots, Rf[:nC], tf[:nC], Xf[:nL])
 
-    def _flush_pending_ba(self) -> None:
-        """Apply an in-flight async window BA (blocks until the device
-        program finishes — by the next keyframe it almost always has)."""
+    def _flush_pending_ba(self, wait: bool = True) -> None:
+        """Apply an in-flight async window BA. With wait=False the flush is
+        skipped (kept pending) when the device program hasn't finished —
+        callers that need the adjusted map (checkpoint, global BA,
+        trajectory export) use wait=True."""
         if self._pending_ba is None:
             return
         slots, fids, lm_slots, uids, nC, nL, res = self._pending_ba
+        if not wait:
+            try:
+                ready = res.R.is_ready()
+            except AttributeError:      # non-jax.Array backends
+                ready = True
+            if not ready:
+                return
         self._pending_ba = None
         # ONE host fetch of the full (fixed-shape) arrays, sliced in numpy:
         # eager device-side slices like res.R[:nC] would compile a fresh
