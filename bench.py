@@ -81,12 +81,17 @@ def bench_sequence(jax, jnp, cfg) -> tuple[float, dict]:
     # 8-bit frames, as a production loader would ship them
     frames = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
 
-    # warmup tracker: compiles frontend, track_step, BA programs on the
-    # first few frames (incl. one keyframe insertion)
+    # warmup tracker: compiles frontend, track/keyframe step, window BA
+    # and loop-closure programs (3 batches so keyframe insertion and
+    # respeculation paths all trace). The timed tracker reuses the same
+    # compiled programs (slam/tracker._shared_programs).
     warm = Tracker(cfg, info.intrinsics)
-    warm.process_batch(frames[:8], 0)
+    for k in range(0, 24, 8):
+        warm.process_batch(frames[k:k + 8], k)
+    del warm
 
     tracker = Tracker(cfg, info.intrinsics)
+    tracker.process_batch(frames[:8], 0)    # bootstrap + two-view init
     t0 = time.perf_counter()
     B = 8
     for k in range(8, len(frames), B):

@@ -29,6 +29,7 @@ the tie-together global. Design (TPU-friendly, fixed shapes per call):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -71,6 +72,11 @@ class KeyframeEntry:
     has_lm: np.ndarray      # [Ks] bool
 
 
+@functools.lru_cache(maxsize=32)
+def _shared_matcher(match_cfg: MatchConfig):
+    return jax.jit(lambda fa, fb: match_features(fa, fb, match_cfg))
+
+
 class LoopCloser:
     """Keyframe database + loop detection + pose-graph correction."""
 
@@ -88,9 +94,9 @@ class LoopCloser:
         self.match_cfg = match_cfg.replace(max_matches=sub_keypoints,
                                            metric="l2")
         # jitted matcher: eagerly-traced match_features is dozens of
-        # per-op dispatches through the relay per verification
-        self._match = jax.jit(
-            lambda fa, fb: match_features(fa, fb, self.match_cfg))
+        # per-op dispatches through the relay per verification; shared
+        # across instances so fresh LoopClosers don't recompile
+        self._match = _shared_matcher(self.match_cfg)
         self.pg_cfg = pg_cfg
         self.sub = sub_keypoints
         self.cos_thresh = cosine_threshold
@@ -107,6 +113,26 @@ class LoopCloser:
         self.corrected: Optional[list] = None
         self.corrected_scale: Optional[list] = None
         self.last_corrections: Optional[list] = None
+        self._verify_warmed = False
+
+    def warm_verify(self, desc_dim: int = 128) -> None:
+        """Compile the verification programs (matcher + PnP at the database
+        shapes) ahead of the first real candidate — the first verification
+        otherwise stalls the tracking loop for seconds of remote
+        compilation, which only fires once the database outgrows the
+        temporal exclusion window (deep into a run)."""
+        if self._verify_warmed:
+            return
+        self._verify_warmed = True
+        k = self.sub
+        kps = Keypoints.empty(k)._replace(yx=jnp.zeros((k, 2)),
+                                          valid=jnp.ones(k, bool))
+        f = Features(kps, jnp.zeros((k, desc_dim), jnp.float32))
+        m = self._match(f, f)
+        refine_pose_jit(jnp.eye(3), jnp.zeros(3),
+                        jnp.zeros((k, 3)), jnp.zeros((k, 2)),
+                        jnp.zeros(k, bool))
+        jax.block_until_ready(m.valid)
 
     # ------------------------------------------------------------------
 
@@ -143,6 +169,7 @@ class LoopCloser:
         if none); lm_positions: the global landmark array to snapshot from.
         Returns the database index."""
         desc, valid, resp, yx = self._prep_features(feats)
+        self.warm_verify(desc.shape[1])
         order = np.argsort(np.where(valid, -resp, np.inf))[: self.sub]
         has_lm = kp_lm[order] >= 0
         entry = KeyframeEntry(

@@ -18,6 +18,7 @@ scene depth to `init_depth`.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -42,6 +43,35 @@ from visualslam_tpu.slam.track_step import (
     track_step_lite,
 )
 from visualslam_tpu.utils.config import SlamConfig
+
+
+@functools.lru_cache(maxsize=32)
+def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
+    """Jitted device programs shared by every Tracker with an equal config.
+
+    A fresh Tracker used to build fresh jax.jit lambdas, so each instance
+    recompiled the whole pipeline (~tens of seconds through the remote
+    relay) — benchmarks and CLI runs paid full compilation inside the
+    timed/tracked region even after a warmup tracker had compiled
+    identical programs. SlamConfig is frozen/hashable, so programs cache
+    per config."""
+    frontend = jax.jit(lambda im: detect_and_describe(im, cfg))
+    return {
+        "frontend": frontend,
+        "frontend_batched": jax.jit(jax.vmap(
+            lambda im: detect_and_describe(im, cfg))),
+        "match": jax.jit(lambda fa, fb: match_features(fa, fb, cfg.match)),
+        "ransac": jax.jit(lambda x1, x2, v, k: estimate_relative_pose(
+            x1, x2, v, cfg.ransac, k)),
+        "track_lite": jax.jit(
+            lambda lmap, fb, i, state, intr: track_step_lite(
+                lmap, index_features(fb, i), state, intr, cfg, ok_min)),
+        "kf_step": jax.jit(
+            lambda kf, fb, i, lite, intr: (
+                keyframe_step(kf, index_features(fb, i), lite, intr, cfg,
+                              max_depth),
+                index_features(fb, i))),
+    }
 
 
 @dataclass
@@ -103,31 +133,23 @@ class Tracker:
         self.db_relocalizations = 0    # recoveries that PnP'd into the db
         self.max_lost_frames = 5  # consecutive failures before re-init
 
-        self._frontend = jax.jit(
-            lambda im: detect_and_describe(im, cfg))
-        self._match = jax.jit(
-            lambda fa, fb: match_features(fa, fb, cfg.match))
-        self._ransac = jax.jit(
-            lambda x1, x2, v, k: estimate_relative_pose(
-                x1, x2, v, cfg.ransac, k))
         self._key = jax.random.PRNGKey(cfg.ransac.seed)
 
         # fused per-frame tracking programs (slam/track_step.py): everything
         # between the frontend and the keyframe bookkeeping is ONE device
         # execution per frame (lite), plus one keyframe-products execution
         # on the ~1-in-5 frames that get promoted; pose state chains
-        # device-to-device between frames
+        # device-to-device between frames. Programs are shared across
+        # Tracker instances with equal configs (_shared_programs).
         self._track_ok_min = max(10, cfg.keyframe_min_inliers // 3)
-        max_depth = float(init_depth) * 20.0
-        self._track_lite = jax.jit(
-            lambda lmap, fb, i, state, intr: track_step_lite(
-                lmap, index_features(fb, i), state, intr, cfg,
-                self._track_ok_min))
-
-        def _kf(kf, fb, i, lite, intr):
-            f1 = index_features(fb, i)
-            return keyframe_step(kf, f1, lite, intr, cfg, max_depth), f1
-        self._kf_step = jax.jit(_kf)
+        progs = _shared_programs(cfg, self._track_ok_min,
+                                 float(init_depth) * 20.0)
+        self._frontend = progs["frontend"]
+        self._frontend_batched = progs["frontend_batched"]
+        self._match = progs["match"]
+        self._ransac = progs["ransac"]
+        self._track_lite = progs["track_lite"]
+        self._kf_step = progs["kf_step"]
         # device-side caches, rebuilt at every keyframe / correction
         self._kf_ref: Optional[KeyframeRef] = None
         self._lmap: Optional[LocalMap] = None
@@ -150,8 +172,6 @@ class Tracker:
         bench.py notes). Slice per-frame Features with `features_at`.
         uint8 input is uploaded as-is (4x cheaper transfer) and normalized
         to [0, 1] float on device."""
-        if not hasattr(self, "_frontend_batched"):
-            self._frontend_batched = jax.jit(jax.vmap(self._frontend))
         if not isinstance(imgs, jax.Array):
             imgs = np.asarray(imgs)
             if imgs.dtype != np.uint8:
