@@ -224,7 +224,7 @@ class LoopCloser:
             return Features(kps, jnp.asarray(e.desc))
 
         m = self._match(to_feats(a), to_feats(b))
-        mv, ia, ib = (np.asarray(a) for a in
+        mv, ia, ib = (np.asarray(x) for x in
                       jax.device_get((m.valid, m.idx_a, m.idx_b)))
         usable = mv & a.has_lm[ia]
         if usable.sum() < self.min_inliers:
@@ -238,20 +238,24 @@ class LoopCloser:
         pr = refine_pose_jit(jnp.asarray(b.R), jnp.asarray(b.t),
                              jnp.asarray(X), jnp.asarray(x_b, jnp.float32),
                              jnp.asarray(usable))
-        n_inl = int(pr.num_inliers)
+        # one batched readback (separate np.asarray fetches each pay the
+        # relay round trip)
+        n_inl_a, Rb, tb, pr_inl = jax.device_get(
+            (pr.num_inliers, pr.R, pr.t, pr.inliers))
+        n_inl = int(n_inl_a)
         if n_inl < self.min_inliers:
             return None
         # candidate camera i's pose in the CURRENT world frame (PnP against
         # j's landmarks -> current metric)
-        Rb = np.asarray(pr.R)
-        tb = np.asarray(pr.t)
+        Rb = np.asarray(Rb)
+        tb = np.asarray(tb)
 
         # Relative scale of i's era vs the current map: matched landmark
         # pairs seen with 3D in BOTH keyframes give the same physical
         # structure in both metrics; the median pairwise-distance ratio is a
         # robust estimate of s_oc = (old units) / (current units). Restrict
         # to PnP inliers so mismatches can't poison the median.
-        inl = np.asarray(pr.inliers)
+        inl = np.asarray(pr_inl)
         s_oc = 1.0
         if self.use_sim3:
             both = inl & a.has_lm[ia] & b.has_lm[ib]
@@ -340,9 +344,10 @@ class LoopCloser:
                                  jnp.asarray(X),
                                  jnp.asarray(x_q, jnp.float32),
                                  jnp.asarray(usable))
-            n_inl = int(pr.num_inliers)
+            n_inl_a, Rq, tq = jax.device_get((pr.num_inliers, pr.R, pr.t))
+            n_inl = int(n_inl_a)
             if n_inl >= self.min_inliers:
-                return (np.asarray(pr.R), np.asarray(pr.t), n_inl, int(i))
+                return (np.asarray(Rq), np.asarray(tq), n_inl, int(i))
         return None
 
     # ------------------------------------------------------------------

@@ -305,4 +305,10 @@ FAST_CONFIG = SlamConfig(
     local_map_size=2048,
     keyframe_min_inliers=25,
     keyframe_min_gap=2,
+    # local-map tracking holds 35+ inliers over an 8-frame gap; the
+    # inlier floor (keyframe_min_inliers) still forces an early keyframe
+    # when tracking degrades. ~40% fewer keyframes = ~30% higher
+    # sequence throughput at ~10% ATE cost (measured on the synthetic
+    # corridor, 96 frames).
+    keyframe_max_gap=8,
 )
