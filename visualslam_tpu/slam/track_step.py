@@ -75,8 +75,13 @@ class LocalMap(NamedTuple):
 class TrackOut(NamedTuple):
     """Everything one frame produces. `stats` packs all per-frame scalars the
     host needs into a single [22] readback:
-      [0] 2D-2D match count   [1] PnP inlier count   [2] PnP cost
-      [3] local-map match count   [4:13] R   [13:16] t   [16:22] vel.
+      [0] on non-keyframes (track_step_lite): local-map gated match count
+          (same as [3]); on keyframes (keyframe_step): 2D-2D match count
+          vs the last keyframe
+      [1] PnP inlier count   [2] PnP cost
+      [3] local-map gated match count   [4:13] R   [13:16] t   [16:22] vel.
+    Exported metrics report stats[0] as `num_matches` — on tracked-only
+    frames that is the local-map association count, not a 2D-2D count.
 
     The per-match association outputs are packed into TWO buffers (assoc_i,
     assoc_f) instead of 12 separate arrays: the host fetches them only at

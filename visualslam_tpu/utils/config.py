@@ -156,7 +156,9 @@ class SiftConfig(_Base):
     def octave_capacity(self, octave: int) -> int:
         if not self.octave_capacity_decay:
             return self.max_keypoints_per_octave
-        return max(self.max_keypoints_per_octave >> octave, 128)
+        # floor of 128 slots, but never above the configured per-octave cap
+        return min(self.max_keypoints_per_octave,
+                   max(self.max_keypoints_per_octave >> octave, 128))
 
 
 @dataclass(frozen=True)
