@@ -185,7 +185,18 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    res = {"landmark_sharded_strong": run_scaling(),
+    import jax as _jax
+
+    purpose = (
+        "CORRECTNESS/COMPILE VALIDATION ONLY on this platform — virtual "
+        "CPU 'devices' share one socket, so wall-times here measure host "
+        "contention, not interconnect scaling. Performance evidence for "
+        "multi-chip lives in benchmarks/scaling.md (measured collective "
+        "volumes + analytic ICI projection)."
+        if _jax.default_backend() == "cpu" else
+        "measured on real devices")
+    res = {"purpose": purpose,
+           "landmark_sharded_strong": run_scaling(),
            "trajectory_sharded_weak": run_traj_scaling()}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling.json")

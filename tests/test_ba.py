@@ -153,3 +153,31 @@ def test_ba_cg_solver_matches_dense(rng):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(r_cg.t), np.asarray(r_dense.t),
                                atol=2e-2)
+
+
+def test_ba_matrix_free_matches_dense(rng):
+    """schur_mf (matrix-free CG: no [C,L,6,3] coupling, no [C,6,C,6]
+    reduced system) reaches the same optimum as the dense solver."""
+    p, R_gt, t_gt, X_gt = make_ba_problem(rng, n_cams=5, n_lms=200)
+    r_dense = run_ba_jit(p, BAConfig(iters=10, solver="schur_dense"))
+    r_mf = run_ba_jit(p, BAConfig(iters=10, solver="schur_mf", cg_iters=60))
+    assert float(r_mf.cost) < float(r_mf.initial_cost) * 1e-3
+    np.testing.assert_allclose(np.asarray(r_mf.R), np.asarray(r_dense.R),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_mf.t), np.asarray(r_dense.t),
+                               atol=2e-2)
+
+
+def test_ba_matrix_free_step_matches_dense_step(rng):
+    """One matrix-free GN step equals one dense-Schur step (same linear
+    system, different solve path) to CG tolerance."""
+    from visualslam_tpu.backend.ba import ba_step
+
+    p, *_ = make_ba_problem(rng, n_cams=4, n_lms=120)
+    lam = jnp.asarray(1e-3)
+    dense = ba_step(p, p.R, p.t, p.X, lam,
+                    BAConfig(iters=1, solver="schur_dense"))
+    mf = ba_step(p, p.R, p.t, p.X, lam,
+                 BAConfig(iters=1, solver="schur_mf", cg_iters=200))
+    for a, b in zip(dense, mf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

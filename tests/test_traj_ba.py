@@ -114,3 +114,24 @@ def test_traj_sharded_multi_camera_blocks(rng):
     R, t, X = unshard_traj(dist.R, dist.t, dist.X, sp.lm_order, 160)
     np.testing.assert_allclose(R, np.asarray(single.R), atol=1e-3)
     np.testing.assert_allclose(t, np.asarray(single.t), atol=1e-2)
+
+
+def test_traj_sharded_matrix_free_matches_single(rng):
+    """solver="schur_mf": the distributed step materializes neither the
+    coupling nor Schur rows (one [C,6] psum per CG matvec) and must reach
+    the same optimum as the single-device dense solver."""
+    p, R_gt, t_gt, X_gt = make_ba_problem(rng, n_cams=8, n_lms=320)
+    cfg = BAConfig(iters=8, cg_iters=64, max_cameras=8, solver="schur_mf")
+
+    single = run_ba_jit(p, cfg.replace(solver="schur_dense"))
+    mesh = make_mesh(8, axis="shard")
+    sp = shard_problem_trajectory(p, 8)
+    dist = run_ba_traj_sharded(sp, cfg, mesh)
+
+    np.testing.assert_allclose(float(dist.initial_cost),
+                               float(single.initial_cost), rtol=1e-5)
+    assert float(dist.cost) < float(dist.initial_cost) * 1e-3
+    R, t, X = unshard_traj(dist.R, dist.t, dist.X, sp.lm_order, 320)
+    np.testing.assert_allclose(R, np.asarray(single.R), atol=5e-4)
+    np.testing.assert_allclose(t, np.asarray(single.t), atol=5e-3)
+    np.testing.assert_allclose(X, np.asarray(single.X), atol=2e-2)

@@ -1,0 +1,145 @@
+"""TPU lane payload — run in a FRESH interpreter (no CPU pin) by
+tests/test_tpu_lane.py. Exercises, on the real TPU backend:
+
+  1. every Pallas kernel (distance 2-NN, extrema) compiled + executed,
+     checked against its XLA equivalent;
+  2. one full detect_and_describe on a bundled reference image;
+  3. one fused track_step_lite + keyframe_step on synthetic features;
+  4. one packed window-BA solve.
+
+Prints one "TPU_LANE_OK <json>" line on success; any exception exits
+non-zero. SURVEY.md §4 implication (4): CPU-mesh tests PLUS the same
+paths re-run on real TPU — round 2 shipped a Pallas kernel that did not
+even compile on TPU because nothing ran there."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        print(f"TPU_LANE_SKIP backend={backend}")
+        return
+
+    out = {"backend": backend, "device": str(jax.devices()[0])}
+    rng = np.random.default_rng(0)
+
+    # ---- 1a. Pallas distance 2-NN vs dense numpy ---------------------
+    from visualslam_tpu.ops.pallas.distance import pallas_l2_2nn
+    from visualslam_tpu.models.types import Features, Keypoints
+
+    a = rng.normal(size=(512, 128)).astype(np.float32)
+    b = rng.normal(size=(512, 128)).astype(np.float32)
+    best, second, i1 = (np.asarray(x) for x in pallas_l2_2nn(
+        jnp.asarray(a), jnp.asarray(b)))
+    d_full = ((a[:, None] - b[None]) ** 2).sum(-1)
+    # the kernel's ||a||^2+||b||^2-2ab expansion rounds differently from
+    # the direct (a-b)^2 sum in f32 — argmins flip on ~1e-4-relative ties
+    # (measured 3/512 on random normals); distances must agree to rtol
+    agree = (i1 == d_full.argmin(1)).mean()
+    assert agree > 0.98, f"pallas 2-NN argmin agreement {agree}"
+    assert np.allclose(best, d_full.min(1), rtol=2e-3, atol=1e-2), \
+        "pallas 2-NN dist"
+    out["pallas_distance"] = f"ok (argmin agreement {agree:.4f})"
+
+    # ---- 1b. Pallas extrema kernel vs XLA ----------------------------
+    from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
+    from visualslam_tpu.ops.extrema import extrema_mask
+
+    dog = jnp.asarray(rng.normal(0, 0.05, (5, 192, 256)).astype(np.float32))
+    th = 0.03
+    s_pl = np.asarray(pallas_extrema_score(dog, th))
+    m_xla = np.asarray(extrema_mask(dog) & (jnp.abs(dog) > 0.5 * th))
+    assert ((s_pl > -1e29) == m_xla).all(), "pallas extrema mask mismatch"
+    assert np.allclose(s_pl[m_xla], np.abs(np.asarray(dog))[m_xla]), \
+        "pallas extrema score mismatch"
+    out["pallas_extrema"] = "ok"
+
+    # ---- 2. full frontend on a bundled reference image ---------------
+    from visualslam_tpu.frontend import detect_and_describe_jit
+    from visualslam_tpu.utils.config import FAST_CONFIG
+    from visualslam_tpu.utils.images import load_gray
+
+    img = load_gray("/root/reference/KeyPointDetection/images/home.jpg")
+    feats = detect_and_describe_jit(jnp.asarray(img), FAST_CONFIG)
+    n = int(feats.keypoints.count())
+    assert n > 50, f"frontend found only {n} keypoints"
+    out["frontend_keypoints"] = n
+
+    # ---- 3. fused track step + keyframe step -------------------------
+    from visualslam_tpu.slam.track_step import (
+        KeyframeRef, LocalMap, TrackState, track_step_jit)
+    from visualslam_tpu.utils.config import FAST_CONFIG as cfg
+
+    K = cfg.sift.max_keypoints
+    Kl = cfg.local_map_size
+    D = 128
+    desc = rng.normal(size=(K, D)).astype(np.float32)
+    kf = KeyframeRef(desc=jnp.asarray(desc),
+                     yx=jnp.asarray(rng.uniform(0, 300, (K, 2)), jnp.float32),
+                     kp_valid=jnp.ones(K, bool),
+                     kp_has_lm=jnp.zeros(K, bool),
+                     R=jnp.eye(3), t=jnp.zeros(3))
+    lmap = LocalMap(desc=jnp.asarray(rng.normal(size=(Kl, D)),
+                                     jnp.float32),
+                    X=jnp.asarray(rng.normal(size=(Kl, 3)), jnp.float32),
+                    valid=jnp.ones(Kl, bool))
+    feats_t = Features(
+        Keypoints.empty(K)._replace(
+            yx=jnp.asarray(rng.uniform(0, 300, (K, 2)), jnp.float32),
+            valid=jnp.ones(K, bool)),
+        jnp.asarray(desc))
+    st = TrackState(R=jnp.eye(3), t=jnp.zeros(3), vel=jnp.zeros(6))
+    intr = jnp.asarray([300.0, 300.0, 150.0, 150.0])
+    res = track_step_jit(kf, lmap, feats_t, st, intr, cfg, 10, 400.0)
+    stats = np.asarray(res.stats)
+    assert stats.shape == (22,) and np.isfinite(stats).all()
+    out["track_step"] = "ok"
+
+    # ---- 4. packed window BA -----------------------------------------
+    from visualslam_tpu.backend.ba import (
+        BAProblem, run_ba_packed_jit, unpack_ba_result)
+    from visualslam_tpu.utils.config import BAConfig
+
+    bc = BAConfig(max_cameras=4, max_landmarks=64, max_observations=256,
+                  iters=3)
+    C, L, O = 4, 64, 256
+    X = rng.uniform([-2, -2, 4], [2, 2, 8], (L, 3)).astype(np.float32)
+    cam_idx = np.repeat(np.arange(C), O // C).astype(np.int32)
+    lm_idx = np.tile(np.arange(L), O // L).astype(np.int32)
+    t_gt = np.linspace(0, 0.3, C)[:, None] * np.array([1.0, 0, 0])
+    uv = np.stack([(X[lm_idx][:, :2] + t_gt[cam_idx][:, :2])
+                   / X[lm_idx][:, 2:3][:, 0][:, None]], 1)[:, 0]
+    p = BAProblem(
+        R=jnp.tile(jnp.eye(3), (C, 1, 1)),
+        t=jnp.asarray(t_gt + rng.normal(0, 0.01, (C, 3)), jnp.float32),
+        X=jnp.asarray(X + rng.normal(0, 0.05, (L, 3)), jnp.float32),
+        cam_idx=jnp.asarray(cam_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_valid=jnp.ones(O, bool), cam_valid=jnp.ones(C, bool),
+        lm_valid=jnp.ones(L, bool))
+    packed = run_ba_packed_jit(p, bc)
+    R, t, Xo, cost, cost0 = unpack_ba_result(np.asarray(packed), C, L)
+    assert np.isfinite(cost) and cost <= cost0, (cost, cost0)
+    out["window_ba_cost"] = [cost0, cost]
+
+    print("TPU_LANE_OK " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(f"TPU_LANE_FAIL {type(e).__name__}: {e}", file=sys.stderr)
+        raise

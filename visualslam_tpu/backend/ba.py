@@ -220,8 +220,99 @@ def apply_increments(R, t, X, dc, dl):
     return dR @ R, (dR @ t[..., None])[..., 0] + dt, X + dl
 
 
+def normal_equations_mf(p: BAProblem, R, t, X, cfg: BAConfig):
+    """Matrix-free normal-equation factors: like normal_equations but the
+    camera-landmark coupling stays PER-OBSERVATION (Wo [O,6,3]) instead of
+    being scattered into the dense [C,L,6,3] block matrix — O(O) memory, so
+    the reduced system never materializes at any scale (VERDICT r2 item 4:
+    the dense Wd is multiple GB at KITTI-sequence scale).
+
+    Returns (U [C,6,6], V [L,3,3], bc [C,6], bl [L,3], Wo [O,6,3])."""
+    C = R.shape[0]
+    L = X.shape[0]
+    r, Jc, Jl, _ = _residuals_jacobians(p, R, t, X, cfg.huber_delta)
+
+    U = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jc, Jc), p.cam_idx, C)
+    V = jax.ops.segment_sum(jnp.einsum("oai,oaj->oij", Jl, Jl), p.lm_idx, L)
+    bc = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jc, r), p.cam_idx, C)
+    bl = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jl, r), p.lm_idx, L)
+    Wo = jnp.einsum("oai,oaj->oij", Jc, Jl)              # [O, 6, 3]
+    return U, V, bc, bl, Wo
+
+
+def schur_matvec_mf(v, U, V_inv, Wo, cam_idx, lm_idx, lam, free6):
+    """S·v = (U + lam I)·v − W V⁻¹ Wᵀ·v without materializing S or W:
+    two gathers + two segment-sums over observations (the pose graph's
+    matrix-free pattern, backend/pose_graph.py, applied to the BA reduced
+    system). v: [C, 6]; free6: [C, 6] mask (0 rows/cols for frozen/gauge
+    cameras, identity on them)."""
+    C = U.shape[0]
+    L = V_inv.shape[0]
+    vm = v * free6
+    a = jnp.einsum("oij,oi->oj", Wo, vm[cam_idx])        # [O, 3]  Wᵀv rows
+    q = jax.ops.segment_sum(a, lm_idx, L)                # [L, 3]
+    y = jnp.einsum("lij,lj->li", V_inv, q)               # V⁻¹ Wᵀ v
+    b = jnp.einsum("oij,oj->oi", Wo, y[lm_idx])          # [O, 6]
+    s = jax.ops.segment_sum(b, cam_idx, C)               # [C, 6]  W V⁻¹ Wᵀ v
+    Sv = jnp.einsum("cij,cj->ci", U, vm) + lam * vm - s
+    # frozen rows act as identity so CG stays well-posed on the full shape
+    return Sv * free6 + v * (1.0 - free6)
+
+
+def solve_cameras_mf(p: BAProblem, U, V_inv, bc, bl, Wo, lam,
+                     cfg: BAConfig):
+    """Matrix-free Jacobi-preconditioned CG on the reduced camera system.
+
+    Preconditioner: block-Jacobi on (U + lam I) — the exact Schur diagonal
+    would need per-(cam,lm) pair aggregation; the U blocks alone are a
+    solid approximation since V⁻¹ damps the subtracted term."""
+    C = U.shape[0]
+    frozen = ~p.cam_valid
+    if cfg.fix_first_camera:
+        frozen = frozen | (jnp.arange(C) == 0)
+    free6 = jnp.where(frozen[:, None], 0.0, 1.0) * jnp.ones((C, 6), U.dtype)
+
+    # reduced RHS: b = bc − W V⁻¹ bl (same segment structure as the matvec)
+    ybl = jnp.einsum("lij,lj->li", V_inv, bl)
+    wyb = jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", Wo, ybl[p.lm_idx]), p.cam_idx, C)
+    b = (bc - wyb) * free6
+
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    Ublk = U + lam * eye6
+    # freeze rows -> identity blocks so the batched inverse stays finite
+    Ublk = jnp.where(frozen[:, None, None], eye6, Ublk)
+    Minv = jnp.linalg.inv(Ublk + 1e-8 * eye6)            # [C, 6, 6]
+
+    def mv(v):
+        return schur_matvec_mf(v, U, V_inv, Wo, p.cam_idx, p.lm_idx, lam,
+                               free6)
+
+    def prec(v):
+        return jnp.einsum("cij,cj->ci", Minv, v) * free6
+
+    x, _ = jax.scipy.sparse.linalg.cg(mv, b, M=prec,
+                                      maxiter=cfg.cg_iters, tol=1e-10)
+    return x * free6
+
+
+def backsub_landmarks_mf(p: BAProblem, V_inv, bl, Wo, dc, lm_valid):
+    """dl = V⁻¹ (bl − Wᵀ dc) via the per-observation coupling."""
+    L = V_inv.shape[0]
+    a = jnp.einsum("oij,oi->oj", Wo, dc[p.cam_idx])
+    WtD = jax.ops.segment_sum(a, p.lm_idx, L)
+    dl = jnp.einsum("lij,lj->li", V_inv, bl - WtD)
+    return dl * lm_valid[:, None]
+
+
 def ba_step(p: BAProblem, R, t, X, lam, cfg: BAConfig):
     """One damped-GN (LM) step: returns proposed (R, t, X)."""
+    if cfg.solver == "schur_mf":
+        U, V, bc, bl, Wo = normal_equations_mf(p, R, t, X, cfg)
+        V_inv = _inv3x3(V + lam * jnp.eye(3, dtype=U.dtype))
+        dc = solve_cameras_mf(p, U, V_inv, bc, bl, Wo, lam, cfg)
+        dl = backsub_landmarks_mf(p, V_inv, bl, Wo, dc, p.lm_valid)
+        return apply_increments(R, t, X, dc, dl)
     U, V, bc, bl, Wd = normal_equations(p, R, t, X, cfg)
     S, b, V_inv = schur_camera_system(U, V, bc, bl, Wd, lam)
     dc = solve_cameras(S, b, p.cam_valid, lam, cfg)
@@ -264,3 +355,32 @@ def _run_ba_impl(p: BAProblem, cfg: BAConfig) -> BAResult:
 
 
 run_ba_jit = jax.jit(run_ba, static_argnums=1)
+
+
+def run_ba_packed(p: BAProblem, cfg: BAConfig) -> jnp.ndarray:
+    """run_ba with the result packed into ONE flat f32 buffer
+    [C*9 R | C*3 t | L*3 X | cost | initial_cost] — a remote-relay host
+    fetch pays one round trip per pytree leaf, so consumers that read the
+    result back (the tracker's window-BA flush) fetch a single array."""
+    res = run_ba(p, cfg)
+    return jnp.concatenate([
+        res.R.reshape(-1), res.t.reshape(-1), res.X.reshape(-1),
+        res.cost[None], res.initial_cost[None]])
+
+
+def unpack_ba_result(packed, C: int, L: int):
+    """Host-side inverse of run_ba_packed: (R[C,3,3], t[C,3], X[L,3],
+    cost, initial_cost) as numpy views."""
+    import numpy as _np
+
+    a = _np.asarray(packed)
+    o = C * 9
+    R = a[:o].reshape(C, 3, 3)
+    t = a[o:o + C * 3].reshape(C, 3)
+    o += C * 3
+    X = a[o:o + L * 3].reshape(L, 3)
+    o += L * 3
+    return R, t, X, float(a[o]), float(a[o + 1])
+
+
+run_ba_packed_jit = jax.jit(run_ba_packed, static_argnums=1)

@@ -80,9 +80,11 @@ def _kernel(prev_ref, cur_ref, next_ref, out_ref, *, TH: int, H: int,
     ok &= (rows >= 1) & (rows <= H - 2) & (cols >= 1) & (cols <= W - 2)
 
     out = jnp.where(ok, score, -_BIG)
-    # interior levels only; first/last DoG level rows output -BIG
-    full = jnp.full(out_ref.shape, -_BIG, out_ref.dtype)
-    out_ref[...] = full.at[1:-1].set(out)
+    # interior levels only; first/last DoG level planes output -BIG.
+    # Concatenate instead of .at[1:-1].set(...): scatter has no Pallas TPU
+    # lowering, a single whole-ref store of a concatenated value does.
+    big = jnp.full((1,) + out.shape[1:], -_BIG, out_ref.dtype)
+    out_ref[...] = jnp.concatenate([big, out, big], axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -42,8 +42,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from visualslam_tpu.backend.ba import (
     BAProblem,
     BAResult,
+    _inv3x3,
     backsub_landmarks,
+    backsub_landmarks_mf,
     normal_equations,
+    normal_equations_mf,
     robust_cost,
     schur_camera_system,
 )
@@ -265,6 +268,91 @@ def run_ba_traj_sharded(sp: TrajShardedBAProblem, cfg: BAConfig,
         cost = cost_of(R_blk, t_blk, X_s)
         init_cost = cost
 
+        def body_mf(carry, _):
+            """Matrix-free distributed step (cfg.solver == "schur_mf"):
+            neither the [C,L,6,3] coupling nor the [Cs,6,C,6] Schur rows
+            ever materialize. The reduced system's camera-block-diagonal
+            part (U, [C,6,6]) and RHS are psum'd and REPLICATED — tiny at
+            any C — while the observation-coupled term W V⁻¹ Wᵀ v is
+            computed from local observations and psum'd once per CG
+            matvec. CG state is replicated, so per-iteration communication
+            is exactly ONE [C,6] psum (24 KB at C=1024) vs the dense
+            path's [Cs,6,C,6] ring reduce-scatter (151 MB)."""
+            R_blk, t_blk, X_s, lam, cost = carry
+            R_all, t_all = gather_poses(R_blk, t_blk)
+            p = local_problem(R_all, t_all, X_s)
+            U_p, V, bc_p, bl, Wo = normal_equations_mf(
+                p, R_all, t_all, X_s, cfg)
+            U_all = jax.lax.psum(U_p, axis)               # [C, 6, 6]
+            eye3 = jnp.eye(3, dtype=U_all.dtype)
+            V_inv = _inv3x3(V + lam * eye3)               # local landmarks
+            ybl = jnp.einsum("lij,lj->li", V_inv, bl)
+            wyb_p = jax.ops.segment_sum(
+                jnp.einsum("oij,oj->oi", Wo, ybl[li]), ci, C)
+            b_all = jax.lax.psum(bc_p - wyb_p, axis)      # [C, 6]
+
+            frozen = ~cam_valid_all
+            if cfg.fix_first_camera:
+                frozen = frozen | (jnp.arange(C) == 0)
+            free6 = jnp.where(frozen[:, None], 0.0,
+                              jnp.ones((C, 6), U_all.dtype))
+            b_all = b_all * free6
+
+            Ls_ = V_inv.shape[0]
+
+            def mv(v):
+                vm = v * free6
+                a = jnp.einsum("oij,oi->oj", Wo, vm[ci])
+                q = jax.ops.segment_sum(a, li, Ls_)
+                y = jnp.einsum("lij,lj->li", V_inv, q)
+                bo = jnp.einsum("oij,oj->oi", Wo, y[li])
+                s = jax.lax.psum(jax.ops.segment_sum(bo, ci, C), axis)
+                Sv = jnp.einsum("cij,cj->ci", U_all, vm) + lam * vm - s
+                return Sv * free6 + v * (1.0 - free6)
+
+            # Jacobi preconditioner from U's diagonal (explicit fori_loop
+            # CG: jax.scipy's cg trips the shard_map vma typing when its
+            # carry mixes psum'd and local operands)
+            diagU = jnp.diagonal(U_all, axis1=-2, axis2=-1) + lam
+            inv_diag = free6 / jnp.maximum(diagU, 1e-12) + (1.0 - free6)
+
+            r0 = b_all
+            z0 = inv_diag * r0
+            rz0 = jnp.sum(r0 * z0)
+
+            def cg_body(_, carry):
+                x, r, p_, rz = carry
+                q = mv(p_)
+                pq = jnp.sum(p_ * q)
+                alpha = rz / jnp.maximum(pq, 1e-20)
+                x2 = x + alpha * p_
+                r2 = r - alpha * q
+                z2 = inv_diag * r2
+                rz2 = jnp.sum(r2 * z2)
+                beta = rz2 / jnp.maximum(rz, 1e-20)
+                return x2, r2, z2 + beta * p_, rz2
+
+            dc_all, _, _, _ = jax.lax.fori_loop(
+                0, cfg.cg_iters, cg_body,
+                (jnp.zeros_like(b_all), r0, z0, rz0))
+            dc_all = dc_all * free6                       # replicated [C,6]
+            dl = backsub_landmarks_mf(p, V_inv, bl, Wo, dc_all, lmv_s)
+            dc_blk = jax.lax.dynamic_slice_in_dim(dc_all, idx * Cs, Cs)
+            dR, dt = se3.se3_exp(dc_blk)
+            Rn_blk = dR @ R_blk
+            tn_blk = (dR @ t_blk[..., None])[..., 0] + dt
+            Xn_s = X_s + dl
+            new_cost = cost_of(Rn_blk, tn_blk, Xn_s)
+            acc = new_cost < cost
+            R2 = jnp.where(acc, Rn_blk, R_blk)
+            t2 = jnp.where(acc, tn_blk, t_blk)
+            X2 = jnp.where(acc, Xn_s, X_s)
+            c2 = jnp.where(acc, new_cost, cost)
+            lam2 = jnp.clip(
+                jnp.where(acc, lam * cfg.damping_down, lam * cfg.damping_up),
+                1e-9, 1e6)
+            return (R2, t2, X2, lam2, c2), new_cost
+
         def body(carry, _):
             R_blk, t_blk, X_s, lam, cost = carry
             R_all, t_all = gather_poses(R_blk, t_blk)
@@ -301,8 +389,9 @@ def run_ba_traj_sharded(sp: TrajShardedBAProblem, cfg: BAConfig,
                 1e-9, 1e6)
             return (R2, t2, X2, lam2, c2), new_cost
 
+        step = body_mf if cfg.solver == "schur_mf" else body
         (R_blk, t_blk, X_s, lam, cost), _ = jax.lax.scan(
-            body, (R_blk, t_blk, X_s, lam0, cost), None, length=cfg.iters)
+            step, (R_blk, t_blk, X_s, lam0, cost), None, length=cfg.iters)
         return (R_blk[None], t_blk[None], X_s[None], cost, init_cost, lam)
 
     smapped = jax.shard_map(

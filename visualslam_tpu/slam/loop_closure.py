@@ -44,7 +44,7 @@ from visualslam_tpu.backend.pose_graph import (
     optimize_pose_graph_jit,
     optimize_sim3_graph_jit,
 )
-from visualslam_tpu.geometry import se3, sim3
+
 from visualslam_tpu.models.matching import match_features
 from visualslam_tpu.models.types import Features, Keypoints
 from visualslam_tpu.utils.config import MatchConfig, PoseGraphConfig
@@ -77,6 +77,71 @@ def _shared_matcher(match_cfg: MatchConfig):
     return jax.jit(lambda fa, fb: match_features(fa, fb, match_cfg))
 
 
+@functools.lru_cache(maxsize=32)
+def _shared_verifier(match_cfg: MatchConfig):
+    """Fused geometric verification: match + usability gate + PnP in ONE
+    device program returning ONE packed f32 buffer — each fetched pytree
+    leaf through the remote relay pays a full round trip, so the two-sync
+    seven-leaf verify path becomes one dispatch + one readback.
+
+    Packed layout: [1 num_inliers][9 R][3 t][M usable][M idx_a][M idx_b]
+    [M pnp_inliers]."""
+    from visualslam_tpu.backend.pnp import refine_pose
+
+    def verify(desc_a, yx_a, has_lm_a, lm_world_a, desc_b, yx_b,
+               R0, t0, intr):
+        k = desc_a.shape[0]
+        ones = jnp.ones(k, bool)
+        fa = Features(Keypoints.empty(k)._replace(yx=yx_a, valid=ones),
+                      desc_a)
+        fb = Features(Keypoints.empty(k)._replace(yx=yx_b, valid=ones),
+                      desc_b)
+        m = match_features(fa, fb, match_cfg)
+        usable = m.valid & has_lm_a[m.idx_a]
+        X = lm_world_a[m.idx_a]
+        fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+        uv_b = yx_b[m.idx_b][:, ::-1]
+        x_b = jnp.stack([(uv_b[:, 0] - cx) / fx, (uv_b[:, 1] - cy) / fy],
+                        axis=-1)
+        pr = refine_pose(R0, t0, X, x_b, usable)
+        f32 = jnp.float32
+        return jnp.concatenate([
+            pr.num_inliers.astype(f32)[None],
+            pr.R.reshape(-1), pr.t,
+            usable.astype(f32), m.idx_a.astype(f32), m.idx_b.astype(f32),
+            pr.inliers.astype(f32)])
+
+    return jax.jit(verify)
+
+
+def _unpack_verify(packed: np.ndarray, M: int):
+    a = np.asarray(packed)
+    n_inl = int(a[0])
+    R = a[1:10].reshape(3, 3)
+    t = a[10:13]
+    o = 13
+    usable = a[o:o + M] > 0.5
+    ia = a[o + M:o + 2 * M].astype(np.int64)
+    ib = a[o + 2 * M:o + 3 * M].astype(np.int64)
+    inl = a[o + 3 * M:o + 4 * M] > 0.5
+    return n_inl, R, t, usable, ia, ib, inl
+
+
+def _np_se3_relative(Ra, ta, Rb, tb):
+    """T_a^-1 . T_b in plain numpy (host-side graph assembly must not pay a
+    device dispatch per edge)."""
+    return Ra.T @ Rb, Ra.T @ (tb - ta)
+
+
+def _np_sim3_inverse(R, t, s):
+    Rt = R.T
+    return Rt, -(Rt @ t) / s, 1.0 / s
+
+
+def _np_sim3_compose(Ra, ta, sa, Rb, tb, sb):
+    return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+
 class LoopCloser:
     """Keyframe database + loop detection + pose-graph correction."""
 
@@ -97,6 +162,7 @@ class LoopCloser:
         # per-op dispatches through the relay per verification; shared
         # across instances so fresh LoopClosers don't recompile
         self._match = _shared_matcher(self.match_cfg)
+        self._verifier = _shared_verifier(self.match_cfg)
         self.pg_cfg = pg_cfg
         self.sub = sub_keypoints
         self.cos_thresh = cosine_threshold
@@ -132,7 +198,12 @@ class LoopCloser:
         refine_pose_jit(jnp.eye(3), jnp.zeros(3),
                         jnp.zeros((k, 3)), jnp.zeros((k, 2)),
                         jnp.zeros(k, bool))
-        jax.block_until_ready(m.valid)
+        z = jnp.zeros
+        packed = self._verifier(
+            z((k, desc_dim), jnp.float32), z((k, 2)), jnp.ones(k, bool),
+            z((k, 3)), z((k, desc_dim), jnp.float32), z((k, 2)),
+            jnp.eye(3), z(3), jnp.ones(4, jnp.float32))
+        jax.block_until_ready((m.valid, packed))
 
     # ------------------------------------------------------------------
 
@@ -213,42 +284,22 @@ class LoopCloser:
 
     def _verify(self, i: int, j: int) -> Optional[LoopEdge]:
         """Geometric verification: match + PnP of candidate i against the
-        current keyframe j's landmarks (metric scale preserved)."""
+        current keyframe j's landmarks (metric scale preserved). One fused
+        device program, one packed readback (_shared_verifier)."""
         a = self.entries[j]   # current (has fresh landmarks)
         b = self.entries[i]   # candidate
 
-        def to_feats(e: KeyframeEntry) -> Features:
-            k = e.desc.shape[0]
-            kps = Keypoints.empty(k)._replace(
-                yx=jnp.asarray(e.yx), valid=jnp.ones(k, bool))
-            return Features(kps, jnp.asarray(e.desc))
-
-        m = self._match(to_feats(a), to_feats(b))
-        mv, ia, ib = (np.asarray(x) for x in
-                      jax.device_get((m.valid, m.idx_a, m.idx_b)))
-        usable = mv & a.has_lm[ia]
-        if usable.sum() < self.min_inliers:
-            return None
-
-        X = a.lm_world[ia]                        # [M, 3] current-world
-        uv_b = b.yx[ib][:, ::-1]                  # (x, y) pixels in candidate
-        fx, fy, cx, cy = self.intr
-        x_b = np.stack([(uv_b[:, 0] - cx) / fx, (uv_b[:, 1] - cy) / fy], -1)
-
-        pr = refine_pose_jit(jnp.asarray(b.R), jnp.asarray(b.t),
-                             jnp.asarray(X), jnp.asarray(x_b, jnp.float32),
-                             jnp.asarray(usable))
-        # one batched readback (separate np.asarray fetches each pay the
-        # relay round trip)
-        n_inl_a, Rb, tb, pr_inl = jax.device_get(
-            (pr.num_inliers, pr.R, pr.t, pr.inliers))
-        n_inl = int(n_inl_a)
-        if n_inl < self.min_inliers:
+        packed = self._verifier(
+            jnp.asarray(a.desc), jnp.asarray(a.yx), jnp.asarray(a.has_lm),
+            jnp.asarray(a.lm_world), jnp.asarray(b.desc), jnp.asarray(b.yx),
+            jnp.asarray(b.R), jnp.asarray(b.t),
+            jnp.asarray(self.intr, jnp.float32))
+        M = self.match_cfg.max_matches
+        n_inl, Rb, tb, usable, ia, ib, pr_inl = _unpack_verify(packed, M)
+        if usable.sum() < self.min_inliers or n_inl < self.min_inliers:
             return None
         # candidate camera i's pose in the CURRENT world frame (PnP against
         # j's landmarks -> current metric)
-        Rb = np.asarray(Rb)
-        tb = np.asarray(tb)
 
         # Relative scale of i's era vs the current map: matched landmark
         # pairs seen with 3D in BOTH keyframes give the same physical
@@ -277,11 +328,9 @@ class LoopCloser:
         # S_i = (Rb, s_oc*tb, s_oc) maps current world -> cam_i in i's OLD
         # units; S_j = (a.R, a.t, 1). Sm = S_i^-1 S_j (relative scale
         # 1/s_oc). In SE(3) mode s_oc == 1 and this reduces to T_i^-1 T_j.
-        one = jnp.ones((), jnp.float32)
-        s_i = jnp.asarray(np.float32(s_oc))
-        Rm, tm, sm = sim3.relative(
-            jnp.asarray(Rb), s_i * jnp.asarray(tb), s_i,
-            jnp.asarray(a.R), jnp.asarray(a.t), one)
+        # Plain numpy: a per-edge device dispatch costs a relay round trip.
+        Rm, tm, sm = _np_sim3_compose(
+            *_np_sim3_inverse(Rb, s_oc * tb, s_oc), a.R, a.t, 1.0)
         return LoopEdge(i=i, j=j, R=np.asarray(Rm), t=np.asarray(tm),
                         num_inliers=n_inl, scale=float(sm))
 
@@ -311,43 +360,28 @@ class LoopCloser:
         order_kp = np.argsort(np.where(valid, -resp, np.inf))[: self.sub]
         q_desc = desc[order_kp]
         q_yx = yx[order_kp]
-        kq = q_desc.shape[0]
-        q_feats = Features(
-            Keypoints.empty(kq)._replace(yx=jnp.asarray(q_yx),
-                                         valid=jnp.ones(kq, bool)),
-            jnp.asarray(q_desc))
-        fx, fy, cx, cy = self.intr
-
+        q_desc_j = jnp.asarray(q_desc)
+        q_yx_j = jnp.asarray(q_yx, jnp.float32)
         for i in np.argsort(-sims)[: top_k]:
             if sims[i] < thresh:
                 break
             e = self.entries[i]
-            ke = e.desc.shape[0]
-            e_feats = Features(
-                Keypoints.empty(ke)._replace(yx=jnp.asarray(e.yx),
-                                             valid=jnp.ones(ke, bool)),
-                jnp.asarray(e.desc))
-            m = self._match(e_feats, q_feats)
-            # entry side (ia) has landmarks; ib is the query side
-            mv, ia, ib = (np.asarray(a) for a in
-                          jax.device_get((m.valid, m.idx_a, m.idx_b)))
-            usable = mv & e.has_lm[ia]
+            # fused match+PnP, one packed readback; entry side has the
+            # landmarks, the query is the camera being located, initialized
+            # at the entry's (corrected) pose — the query viewpoint is near
+            # it by construction of the retrieval
+            packed = self._verifier(
+                jnp.asarray(e.desc), jnp.asarray(e.yx),
+                jnp.asarray(e.has_lm), jnp.asarray(e.lm_world),
+                q_desc_j, q_yx_j,
+                jnp.asarray(e.R), jnp.asarray(e.t),
+                jnp.asarray(self.intr, jnp.float32))
+            n_inl, Rq, tq, usable, _, _, _ = _unpack_verify(
+                packed, self.match_cfg.max_matches)
             if usable.sum() < self.min_inliers:
                 continue
-            X = e.lm_world[ia]                         # [M, 3] world
-            uv_q = q_yx[ib][:, ::-1]                   # (x, y) query pixels
-            x_q = np.stack([(uv_q[:, 0] - cx) / fx,
-                            (uv_q[:, 1] - cy) / fy], -1)
-            # init at the entry's (corrected) pose — the query viewpoint is
-            # near it by construction of the retrieval
-            pr = refine_pose_jit(jnp.asarray(e.R), jnp.asarray(e.t),
-                                 jnp.asarray(X),
-                                 jnp.asarray(x_q, jnp.float32),
-                                 jnp.asarray(usable))
-            n_inl_a, Rq, tq = jax.device_get((pr.num_inliers, pr.R, pr.t))
-            n_inl = int(n_inl_a)
             if n_inl >= self.min_inliers:
-                return (np.asarray(Rq), np.asarray(tq), n_inl, int(i))
+                return (Rq, tq, n_inl, int(i))
         return None
 
     # ------------------------------------------------------------------
@@ -382,13 +416,13 @@ class LoopCloser:
 
         ii, jj, Rm, tm, sm, w = [], [], [], [], [], []
         for k in range(n - 1):
-            Rr, tr = se3.relative(jnp.asarray(R0[k]), jnp.asarray(t0[k]),
-                                  jnp.asarray(R0[k + 1]),
-                                  jnp.asarray(t0[k + 1]))
+            # numpy, not jnp: one device dispatch per odometry edge would
+            # cost n-1 relay round trips per optimize() call
+            Rr, tr = _np_se3_relative(R0[k], t0[k], R0[k + 1], t0[k + 1])
             ii.append(k)
             jj.append(k + 1)
-            Rm.append(np.asarray(Rr))
-            tm.append(np.asarray(tr))
+            Rm.append(Rr)
+            tm.append(tr)
             sm.append(1.0)
             w.append(1.0)
         for e in self.loop_edges:
@@ -449,11 +483,9 @@ class LoopCloser:
         # (S_old has unit scale; S_new = (Rn, tn, s)).
         self.last_corrections = []
         for k in range(n):
-            Sni = sim3.inverse(jnp.asarray(Rn[k]), jnp.asarray(tn[k]),
-                               jnp.asarray(np.float32(scales[k])))
-            Rg, tg, sg = sim3.compose(*Sni, jnp.asarray(R0[k]),
-                                      jnp.asarray(t0[k]),
-                                      jnp.ones((), jnp.float32))
+            Rg, tg, sg = _np_sim3_compose(
+                *_np_sim3_inverse(Rn[k], tn[k], float(scales[k])),
+                R0[k], t0[k], 1.0)
             self.last_corrections.append(
                 (np.asarray(Rg), np.asarray(tg), float(sg)))
 

@@ -270,6 +270,46 @@ def keyframe_step(kf: KeyframeRef, feats: Features, lite: TrackLite,
                     assoc_i=assoc_i, assoc_f=assoc_f)
 
 
+def pack_keyframe_products(full: TrackOut, feats: Features) -> jnp.ndarray:
+    """Pack every scalar/index/coordinate a keyframe promotion fetches into
+    ONE f32 device buffer. Through the remote relay each fetched pytree leaf
+    pays a full round trip (~15-25 ms); the packed layout turns the
+    keyframe readback from 11 round trips into 2 (this buffer + the
+    descriptor array, which keeps its own dtype).
+
+    Layout: [22 stats][M*6 assoc_i][M*9 assoc_f][K*2 yx][K response]
+    [K valid]. assoc_i values are indices < 2^24 and 2-bit flags, exactly
+    representable in f32."""
+    kp = feats.keypoints
+    return jnp.concatenate([
+        full.stats,
+        full.assoc_i.astype(jnp.float32).reshape(-1),
+        full.assoc_f.reshape(-1),
+        kp.yx.reshape(-1),
+        kp.response,
+        kp.valid.astype(jnp.float32),
+    ])
+
+
+def unpack_keyframe_products(packed: np.ndarray, M: int, K: int):
+    """Host-side inverse of pack_keyframe_products. Returns
+    (stats[22], assoc_i[M,6] int, assoc_f[M,9], yx[K,2], response[K],
+    valid[K] bool)."""
+    a = np.asarray(packed)
+    o = 22
+    stats = a[:o]
+    ai = a[o:o + M * 6].reshape(M, 6).astype(np.int64)
+    o += M * 6
+    af = a[o:o + M * 9].reshape(M, 9)
+    o += M * 9
+    yx = a[o:o + K * 2].reshape(K, 2)
+    o += K * 2
+    resp = a[o:o + K]
+    o += K
+    valid = a[o:o + K] > 0.5
+    return stats, ai, af, yx, resp, valid
+
+
 def track_step(kf: KeyframeRef, lmap: LocalMap, feats: Features,
                state: TrackState, intr: jnp.ndarray, cfg: SlamConfig,
                min_inliers: int, max_depth: float) -> TrackOut:

@@ -26,13 +26,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from visualslam_tpu.backend.ba import BAProblem, run_ba_jit
+from visualslam_tpu.backend.ba import (
+    BAProblem,
+    run_ba_packed_jit,
+    unpack_ba_result,
+)
 from visualslam_tpu.frontend import detect_and_describe
 from visualslam_tpu.geometry import sim3
 from visualslam_tpu.geometry.camera import normalized
 from visualslam_tpu.geometry.ransac import estimate_relative_pose
 from visualslam_tpu.models.matching import match_features
-from visualslam_tpu.models.types import Features
+from visualslam_tpu.models.types import Features, Keypoints
 from visualslam_tpu.slam.track_step import (
     KeyframeRef,
     LocalMap,
@@ -40,7 +44,9 @@ from visualslam_tpu.slam.track_step import (
     build_local_map,
     index_features,
     keyframe_step,
+    pack_keyframe_products,
     track_step_lite,
+    unpack_keyframe_products,
 )
 from visualslam_tpu.utils.config import SlamConfig
 
@@ -56,6 +62,14 @@ def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
     identical programs. SlamConfig is frozen/hashable, so programs cache
     per config."""
     frontend = jax.jit(lambda im: detect_and_describe(im, cfg))
+
+    def _kf_step(kf, fb, i, lite, intr):
+        feats = index_features(fb, i)
+        full = keyframe_step(kf, feats, lite, intr, cfg, max_depth)
+        # one packed f32 buffer + the sliced device-side Features: the host
+        # fetches (packed, feats.descriptors) in a single 2-leaf device_get
+        return pack_keyframe_products(full, feats), feats
+
     return {
         "frontend": frontend,
         "frontend_batched": jax.jit(jax.vmap(
@@ -66,11 +80,10 @@ def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
         "track_lite": jax.jit(
             lambda lmap, fb, i, state, intr: track_step_lite(
                 lmap, index_features(fb, i), state, intr, cfg, ok_min)),
-        "kf_step": jax.jit(
-            lambda kf, fb, i, lite, intr: (
-                keyframe_step(kf, index_features(fb, i), lite, intr, cfg,
-                              max_depth),
-                index_features(fb, i))),
+        "kf_step": jax.jit(_kf_step),
+        # [n, 22] stats matrix: ONE readback per speculation round instead
+        # of one per frame (compiles once per distinct n <= batch size)
+        "stack_stats": jax.jit(lambda ss: jnp.stack(ss)),
     }
 
 
@@ -150,11 +163,23 @@ class Tracker:
         self._ransac = progs["ransac"]
         self._track_lite = progs["track_lite"]
         self._kf_step = progs["kf_step"]
+        self._stack_stats = progs["stack_stats"]
         # device-side caches, rebuilt at every keyframe / correction
         self._kf_ref: Optional[KeyframeRef] = None
         self._lmap: Optional[LocalMap] = None
         self._lmap_ids = np.full(cfg.local_map_size, -1, np.int64)
         self._state: Optional[TrackState] = None
+        # optional utils.profiling.StageTimer — set by benchmarks/CLI to
+        # attribute wall time to pipeline stages (readbacks absorb device
+        # time; dispatch stages measure host dispatch cost only)
+        self.timer = None
+
+    def _stage(self, name: str):
+        if self.timer is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
 
     # ------------------------------------------------------------------
 
@@ -205,7 +230,8 @@ class Tracker:
         per-frame processing, only the dispatch/readback schedule differs
         (keyframes cost one extra speculation round each)."""
         B = imgs.shape[0]
-        feats_b = self.detect_batch(imgs)
+        with self._stage("frontend_dispatch"):
+            feats_b = self.detect_batch(imgs)
         results: list[FrameResult] = []
         i = 0
         while i < B:
@@ -219,12 +245,17 @@ class Tracker:
             if self._kf_ref is None:
                 self._refresh_device_cache()
             outs = []
-            for j in range(i, B):
-                out = self._track_lite(self._lmap, feats_b, np.int32(j),
-                                       self._state, self.intr)
-                outs.append(out)
-                self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
-            stats = jax.device_get([o.stats for o in outs])   # one sync
+            with self._stage("track_dispatch"):
+                for j in range(i, B):
+                    out = self._track_lite(self._lmap, feats_b, np.int32(j),
+                                           self._state, self.intr)
+                    outs.append(out)
+                    self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
+            with self._stage("stats_readback"):
+                # stack device-side: ONE buffer crosses the relay instead of
+                # one per frame (~25 ms per fetched leaf)
+                stats = np.asarray(
+                    self._stack_stats([o.stats for o in outs]))
             for j, (out, st) in enumerate(zip(outs, stats)):
                 res, disp = self._commit_tracked_frame(
                     first_frame_id + i + j, feats_b, i + j, out, st)
@@ -484,13 +515,29 @@ class Tracker:
         # are computed only now — on the frame actually being promoted;
         # the program also returns the sliced single-frame Features so the
         # host never slices the batched pytree eagerly
-        full, feats = self._kf_step(self._kf_ref, fb, np.int32(idx), out,
-                                    self.intr)
-        # ONE host fetch for everything this keyframe needs
-        ai, af, feats_np = jax.device_get(
-            (full.assoc_i, full.assoc_f, feats))
+        with self._stage("kf_step_dispatch"):
+            packed, feats = self._kf_step(self._kf_ref, fb, np.int32(idx),
+                                          out, self.intr)
+        # ONE 2-leaf host fetch for everything this keyframe needs (the
+        # packed f32 buffer + descriptors, which keep their own dtype)
+        with self._stage("kf_readback"):
+            packed_np, desc_np = jax.device_get((packed, feats.descriptors))
+        M = self.cfg.match.max_matches
+        K = desc_np.shape[0]
+        _, ai, af, kp_yx, kp_resp, kp_valid = unpack_keyframe_products(
+            packed_np, M, K)
         d = TrackAssoc.unpack(ai, af)
         prev_kf = self.map.last_keyframe_slot()
+        # numpy Features view for the host consumers (map storage + loop
+        # database); unfetched fields stay zero
+        zeros_k = np.zeros(K, np.float32)
+        feats_np = Features(
+            Keypoints(yx=kp_yx, yx_oct=np.zeros((K, 2), np.float32),
+                      octave=np.zeros(K, np.int32),
+                      level=np.zeros(K, np.int32),
+                      sigma=zeros_k, orientation=zeros_k,
+                      response=kp_resp, valid=kp_valid),
+            desc_np)
 
         slot = self._new_keyframe(feats, frame_id, R, t, feats_np=feats_np)
 
@@ -513,24 +560,27 @@ class Tracker:
 
         # 3. windowed BA
         if self.run_ba:
-            self._run_window_ba()
+            with self._stage("window_ba"):
+                self._run_window_ba()
         # refresh cached current pose from (possibly) adjusted keyframe
         self._last_R = self.map.kf_R[slot].copy()
         self._last_t = self.map.kf_t[slot].copy()
 
         # 4. loop closure (gets the already-fetched host copy of feats)
         if self.loop_closer is not None:
-            idx = self.loop_closer.add_keyframe(
-                frame_id, self.map.kf_R[slot], self.map.kf_t[slot],
-                feats_np, self.map.kf_kp_lm[slot], self.map.X)
-            edge = self.loop_closer.detect(idx)
-            if edge is not None:
-                self.num_loop_closures += 1
-                self.loop_closer.optimize()
-                self._apply_loop_correction(slot, idx)
+            with self._stage("loop_closure"):
+                idx = self.loop_closer.add_keyframe(
+                    frame_id, self.map.kf_R[slot], self.map.kf_t[slot],
+                    feats_np, self.map.kf_kp_lm[slot], self.map.X)
+                edge = self.loop_closer.detect(idx)
+                if edge is not None:
+                    self.num_loop_closures += 1
+                    self.loop_closer.optimize()
+                    self._apply_loop_correction(slot, idx)
 
         # 5. device caches see the new keyframe / adjusted map
-        self._refresh_device_cache()
+        with self._stage("refresh_cache"):
+            self._refresh_device_cache()
 
     def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
         """Move the active window (poses + landmarks) so the latest keyframe
@@ -643,7 +693,7 @@ class Tracker:
             self.map.writeback_ba(slots, lm_slots, Rn[:nC], tn[:nC],
                                   Xn[:nL])
             return
-        res = run_ba_jit(p, cfg)        # async dispatch either way
+        res = run_ba_packed_jit(p, cfg)     # async dispatch either way
         if cfg.async_ba:
             # stage overlap (PP analogue): BA computes on-device while the
             # next frames track; results land at the next keyframe (or any
@@ -653,8 +703,8 @@ class Tracker:
                                 lm_slots, self.map.lm_uid[lm_slots].copy(),
                                 nC, nL, res)
             return
-        Rf, tf, Xf, cost = jax.device_get((res.R, res.t, res.X, res.cost))
-        self.last_ba_cost = float(cost)
+        Rf, tf, Xf, cost, _ = unpack_ba_result(np.asarray(res), C, L)
+        self.last_ba_cost = cost
         self.map.writeback_ba(slots, lm_slots, Rf[:nC], tf[:nC], Xf[:nL])
 
     def _flush_pending_ba(self, wait: bool = True) -> None:
@@ -667,19 +717,21 @@ class Tracker:
         slots, fids, lm_slots, uids, nC, nL, res = self._pending_ba
         if not wait:
             try:
-                ready = res.R.is_ready()
+                ready = res.is_ready()
             except AttributeError:      # non-jax.Array backends
                 ready = True
             if not ready:
                 return
         self._pending_ba = None
-        # ONE host fetch of the full (fixed-shape) arrays, sliced in numpy:
+        # ONE host fetch of the packed fixed-shape buffer, sliced in numpy:
         # eager device-side slices like res.R[:nC] would compile a fresh
         # slice program per distinct window size (~1.3 s per keyframe
-        # through the remote relay)
-        Rf, tf, Xf, cost = jax.device_get((res.R, res.t, res.X, res.cost))
+        # through the remote relay); separate leaves each pay a round trip
+        Rf, tf, Xf, cost, _ = unpack_ba_result(
+            np.asarray(res), self.cfg.ba.max_cameras,
+            self.cfg.ba.max_landmarks)
         R, t, X = Rf[:nC], tf[:nC], Xf[:nL]
-        self.last_ba_cost = float(cost)
+        self.last_ba_cost = cost
         # only write back entities that still hold the same keyframe /
         # landmark they held at dispatch time
         kf_ok = self.map.kf_frame_id[slots] == fids

@@ -216,7 +216,13 @@ class BAConfig(_Base):
     damping_up: float = 10.0
     damping_down: float = 0.1
     huber_delta: float = 5.0e-3         # robust loss on normalized-plane residuals
-    solver: str = "schur_dense"         # "schur_dense" | "schur_cg"
+    solver: str = "schur_dense"         # "schur_dense" (direct, small
+    #                                     windows) | "schur_cg" (CG on the
+    #                                     materialized reduced system) |
+    #                                     "schur_mf" (matrix-free CG — the
+    #                                     [C,L,6,3] coupling and [C,6,C,6]
+    #                                     reduced system never materialize;
+    #                                     scales to full sequences)
     cg_iters: int = 32
     fix_first_camera: bool = True
     fix_gauge_scale: bool = True
