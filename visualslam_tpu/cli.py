@@ -215,13 +215,17 @@ def cmd_accuracy(args) -> None:
     except OSError:
         commit = "unknown"
 
+    # Scenario set (VERDICT r2 item 3): the default 240x376 dolly under
+    # BOTH profiles (the fast-vs-default ATE-cost row), a rotation-
+    # exercising arc (the dolly's RPE-rot alone under-tests rotation), a
+    # closed loop that must trigger loop closure, and a longer run with
+    # full-sequence global BA.
     scenarios = [
-        ("synthetic-100", "fast", dict(num_frames=100, h=240, w=376,
-                                       n_dots=1500, step=0.4), False),
-        ("synthetic-100+gba", "fast", dict(num_frames=100, h=240, w=376,
-                                           n_dots=1500, step=0.4), True),
-        ("synthetic-60", "fast", dict(num_frames=60, h=240, w=376,
-                                      n_dots=1500, step=0.4), False),
+        ("dolly-60", "fast", dict(num_frames=60), False),
+        ("dolly-60", "reference", dict(num_frames=60), False),
+        ("arc-60", "fast", dict(num_frames=60, trajectory="arc"), False),
+        ("loop-96", "fast", dict(num_frames=96, trajectory="loop"), False),
+        ("dolly-100+gba", "fast", dict(num_frames=100), True),
     ]
     rows = []
     for name, profile, kw, use_gba in scenarios:
@@ -253,6 +257,8 @@ def cmd_accuracy(args) -> None:
             "loop_closures": tracker.num_loop_closures,
         })
         print(json.dumps(rows[-1]), flush=True)
+        if name.startswith("loop") and tracker.num_loop_closures == 0:
+            print("WARNING: loop scenario closed no loops", file=sys.stderr)
 
     out = args.out or "ACCURACY.md"
     with open(out, "w") as f:

@@ -117,11 +117,19 @@ class SyntheticSequence:
 
     def __init__(self, num_frames: int = 50, h: int = 240, w: int = 376,
                  n_dots: int = 1500, seed: int = 0, step: float = 0.4,
-                 textured: bool = True):
+                 textured: bool = True, trajectory: str = "dolly",
+                 yaw_rate: float = 0.01):
+        """trajectory: "dolly" (forward along +z with mild yaw — the
+        default), "arc" (heading-following turn, yaw_rate rad/frame —
+        exercises rotation accuracy), "loop" (strafe rectangle returning
+        to the start viewpoint with the same heading — exercises loop
+        closure/relocalization)."""
         self.num_frames = num_frames
         rng = np.random.default_rng(seed)
         self.h, self.w = h, w
         self.textured = textured
+        self.trajectory = trajectory
+        self.yaw_rate = yaw_rate
         if textured:
             self.tex = self._make_texture(rng, 512)
         f = 0.6 * w
@@ -139,6 +147,7 @@ class SyntheticSequence:
         self.cos_t = np.cos(theta)
         self.sin_t = np.sin(theta)
         self.step = step
+        self._yaws, self._centers = self._make_path()
         self.gt_poses = np.stack([self._pose_cw(k)
                                   for k in range(num_frames)])
         self.times = np.arange(num_frames) * 0.1
@@ -216,13 +225,50 @@ class SyntheticSequence:
             best_s[hit] = s[hit]
         return (0.5 + val).reshape(self.h, self.w)
 
-    def _pose_wc(self, k):
-        from visualslam_tpu.geometry import se3
-        import jax.numpy as jnp
+    @staticmethod
+    def _yaw_R(a: float) -> np.ndarray:
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
-        w = np.array([0.0, 0.003 * k, 0.0])
-        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
-        center = np.array([0.02 * k, 0.0, self.step * k])
+    def _make_path(self):
+        """Per-frame (yaw, camera-center) arrays for the trajectory mode."""
+        n = self.num_frames
+        ks = np.arange(n, dtype=np.float64)
+        if self.trajectory == "arc":
+            # heading-following turn: the camera looks where it goes
+            yaws = self.yaw_rate * ks
+            centers = np.zeros((n, 3))
+            for k in range(1, n):
+                d = self._yaw_R(yaws[k - 1]).T @ np.array([0, 0, self.step])
+                centers[k] = centers[k - 1] + d
+            return yaws, centers
+        if self.trajectory == "loop":
+            # strafe rectangle, constant heading: forward, right, back,
+            # left — the final frames re-see the first frames' view
+            q = max(n // 4, 1)
+            depth = self.step * q
+            width = min(6.0, 0.2 * q)
+            centers = np.zeros((n, 3))
+            for k in range(1, n):
+                p = k % (4 * q)
+                if p < q:
+                    d = [0, 0, self.step]
+                elif p < 2 * q:
+                    d = [width / q, 0, 0]
+                elif p < 3 * q:
+                    d = [0, 0, -self.step]
+                else:
+                    d = [-width / q, 0, 0]
+                centers[k] = centers[k - 1] + np.asarray(d)
+            return np.zeros(n), centers
+        # "dolly": gentle forward path with mild yaw (the default)
+        yaws = 0.003 * ks
+        centers = np.stack([0.02 * ks, np.zeros(n), self.step * ks], -1)
+        return yaws, centers
+
+    def _pose_wc(self, k):
+        R = self._yaw_R(self._yaws[k])
+        center = self._centers[k]
         return R.astype(np.float64), (-R @ center).astype(np.float64)
 
     def _pose_cw(self, k):

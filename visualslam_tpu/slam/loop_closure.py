@@ -241,7 +241,15 @@ class LoopCloser:
         Returns the database index."""
         desc, valid, resp, yx = self._prep_features(feats)
         self.warm_verify(desc.shape[1])
-        order = np.argsort(np.where(valid, -resp, np.inf))[: self.sub]
+        # Landmark-bearing keypoints FIRST (then by response): geometric
+        # verification PnPs against the entry's landmarks, and a pure
+        # response-ranked subsample leaves only ~10-20% of slots with a
+        # landmark — verification then can't reach min_inliers usable
+        # matches even on a perfect revisit (measured: loop trajectory,
+        # retrieval sims 0.99+, usable 1-6 of 256).
+        score = np.where(valid, resp, -np.inf) + np.where(
+            kp_lm >= 0, 1e6, 0.0)
+        order = np.argsort(-score)[: self.sub]
         has_lm = kp_lm[order] >= 0
         entry = KeyframeEntry(
             frame_id=frame_id,

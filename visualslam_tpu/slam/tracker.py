@@ -783,11 +783,37 @@ class Tracker:
         return res
 
     def trajectory(self) -> np.ndarray:
-        """[F, 3, 4] camera-to-world pose matrices (KITTI convention)."""
+        """[F, 3, 4] camera-to-world pose matrices (KITTI convention).
+
+        When loop closures have run, frames AFTER the latest correction are
+        already expressed in the corrected map (PnP re-anchors against it)
+        but frames BEFORE it still carry pre-correction odometry — a mixed
+        export would put a discontinuity at every loop. Frames up to the
+        last corrected keyframe therefore adopt the pose-graph-corrected
+        keyframe poses, with frames between keyframes carried rigidly by
+        their preceding keyframe's correction (same carry scheme as
+        global_ba)."""
+        corr = None
+        lc = self.loop_closer
+        if lc is not None and lc.corrected is not None and lc.entries:
+            corr = {int(e.frame_id): (Rc, tc)
+                    for e, (Rc, tc) in zip(lc.entries, lc.corrected)}
+            last_fid = max(corr)
         out = []
+        carry = None
         for f in self.frames:
-            Rcw = f.R.T
-            c = -f.R.T @ f.t
+            R, t = f.R, f.t
+            if corr is not None and f.frame_id <= last_fid:
+                if f.frame_id in corr:
+                    Rc, tc = corr[f.frame_id]
+                    Ri, ti = R.T, -R.T @ t
+                    carry = (Ri @ Rc, Ri @ tc + ti)   # T_old^-1 . T_new
+                    R, t = Rc, tc
+                elif carry is not None:
+                    Rc2, tc2 = carry
+                    R, t = R @ Rc2, R @ tc2 + t
+            Rcw = R.T
+            c = -R.T @ t
             out.append(np.concatenate([Rcw, c[:, None]], axis=1))
         return np.stack(out)
 
