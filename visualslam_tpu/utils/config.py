@@ -315,8 +315,10 @@ FAST_CONFIG = SlamConfig(
     keyframe_min_gap=2,
     # local-map tracking holds 35+ inliers over an 8-frame gap; the
     # inlier floor (keyframe_min_inliers) still forces an early keyframe
-    # when tracking degrades. ~40% fewer keyframes = ~30% higher
-    # sequence throughput at ~10% ATE cost (measured on the synthetic
-    # corridor, 96 frames).
+    # when tracking degrades. Accuracy cost vs DEFAULT_CONFIG depends on
+    # frame size: near parity at KITTI width (what this profile is tuned
+    # for); at the 240x376 synthetic world the dolly-60 ATE is ~0.42 m
+    # fast vs ~0.09 m reference — see ACCURACY.md (regenerate with
+    # `cli accuracy`) for the current measured rows.
     keyframe_max_gap=8,
 )
