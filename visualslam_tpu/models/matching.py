@@ -56,11 +56,14 @@ def match_features(fa: Features, fb: Features, cfg: MatchConfig) -> Matches:
         dist = distance_matrix(fa, fb, cfg.metric)
         dist = jnp.where(va[:, None] & vb[None, :], dist, _BIG)
 
-        # best + second-best per row
-        neg2, idx2 = jax.lax.top_k(-dist, 2)               # [Ka, 2]
-        best = -neg2[:, 0]
-        second = -neg2[:, 1]
-        nn = idx2[:, 0]
+        # best + second-best per row via three reduction passes — NOT
+        # lax.top_k(-dist, 2): top_k with k>1 lowers to a full per-row
+        # SORT on TPU (~20 ms on a [2048, 2048] matrix vs ~0.1 ms for
+        # min/argmin reduces; measured in the fused track step)
+        best = jnp.min(dist, axis=1)
+        nn = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        second = jnp.min(jnp.where(cols == nn[:, None], _BIG, dist), axis=1)
 
         ratio = cfg.ratio ** 2 if cfg.metric == "l2" else cfg.ratio
         ok = va & (best < _BIG) & (best < ratio * second)

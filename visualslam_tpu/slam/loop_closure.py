@@ -114,6 +114,23 @@ def _shared_verifier(match_cfg: MatchConfig):
     return jax.jit(verify)
 
 
+@functools.lru_cache(maxsize=32)
+def _shared_verifier_batch(match_cfg: MatchConfig):
+    """vmapped _shared_verifier over the CANDIDATE axis: all top-k
+    retrieval candidates verify in ONE dispatch + ONE packed readback
+    (per-candidate dispatches each pay the relay round trip)."""
+    inner = _shared_verifier(match_cfg)
+
+    def verify_many(desc_a, yx_a, has_lm_a, lm_world_a,
+                    descs_b, yxs_b, Rs_b, ts_b, intr):
+        return jax.vmap(
+            lambda db, yb, Rb, tb: inner(desc_a, yx_a, has_lm_a,
+                                         lm_world_a, db, yb, Rb, tb, intr)
+        )(descs_b, yxs_b, Rs_b, ts_b)
+
+    return jax.jit(verify_many)
+
+
 def _unpack_verify(packed: np.ndarray, M: int):
     a = np.asarray(packed)
     n_inl = int(a[0])
@@ -163,6 +180,7 @@ class LoopCloser:
         # across instances so fresh LoopClosers don't recompile
         self._match = _shared_matcher(self.match_cfg)
         self._verifier = _shared_verifier(self.match_cfg)
+        self._verifier_batch = _shared_verifier_batch(self.match_cfg)
         self.pg_cfg = pg_cfg
         self.sub = sub_keypoints
         self.cos_thresh = cosine_threshold
@@ -203,7 +221,12 @@ class LoopCloser:
             z((k, desc_dim), jnp.float32), z((k, 2)), jnp.ones(k, bool),
             z((k, 3)), z((k, desc_dim), jnp.float32), z((k, 2)),
             jnp.eye(3), z(3), jnp.ones(4, jnp.float32))
-        jax.block_until_ready((m.valid, packed))
+        packed_b = self._verifier_batch(
+            z((k, desc_dim), jnp.float32), z((k, 2)), jnp.ones(k, bool),
+            z((k, 3)), z((3, k, desc_dim), jnp.float32), z((3, k, 2)),
+            jnp.tile(jnp.eye(3), (3, 1, 1)), z((3, 3)),
+            jnp.ones(4, jnp.float32))
+        jax.block_until_ready((m.valid, packed, packed_b))
 
     # ------------------------------------------------------------------
 
@@ -281,10 +304,25 @@ class LoopCloser:
         past = np.stack([e.global_desc for e in
                          self.entries[: n - self.exclude - 1]])
         sims = past @ cur.global_desc
-        for i in np.argsort(-sims)[: top_k]:
-            if sims[i] < self.cos_thresh:
-                break
-            edge = self._verify(int(i), j)
+        order = [int(i) for i in np.argsort(-sims)[: top_k]
+                 if sims[i] >= self.cos_thresh]
+        if not order:
+            return None
+        # all surviving candidates verify in ONE dispatch + readback
+        # (pad by repeating the first so the program shape is fixed)
+        cands = (order + [order[0]] * top_k)[: top_k]
+        a = self.entries[j]
+        packed = self._verifier_batch(
+            jnp.asarray(a.desc), jnp.asarray(a.yx), jnp.asarray(a.has_lm),
+            jnp.asarray(a.lm_world),
+            jnp.asarray(np.stack([self.entries[i].desc for i in cands])),
+            jnp.asarray(np.stack([self.entries[i].yx for i in cands])),
+            jnp.asarray(np.stack([self.entries[i].R for i in cands])),
+            jnp.asarray(np.stack([self.entries[i].t for i in cands])),
+            jnp.asarray(self.intr, jnp.float32))
+        packed_np = np.asarray(packed)
+        for k, i in enumerate(order):
+            edge = self._edge_from_packed(i, j, packed_np[k])
             if edge is not None:
                 self.loop_edges.append(edge)
                 return edge
@@ -302,6 +340,14 @@ class LoopCloser:
             jnp.asarray(a.lm_world), jnp.asarray(b.desc), jnp.asarray(b.yx),
             jnp.asarray(b.R), jnp.asarray(b.t),
             jnp.asarray(self.intr, jnp.float32))
+        return self._edge_from_packed(i, j, np.asarray(packed))
+
+    def _edge_from_packed(self, i: int, j: int,
+                          packed: np.ndarray) -> Optional[LoopEdge]:
+        """Interpret one fused-verifier result; returns the accepted edge
+        or None."""
+        a = self.entries[j]
+        b = self.entries[i]
         M = self.match_cfg.max_matches
         n_inl, Rb, tb, usable, ia, ib, pr_inl = _unpack_verify(packed, M)
         if usable.sum() < self.min_inliers or n_inl < self.min_inliers:

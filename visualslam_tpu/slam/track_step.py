@@ -270,6 +270,52 @@ def keyframe_step(kf: KeyframeRef, feats: Features, lite: TrackLite,
                     assoc_i=assoc_i, assoc_f=assoc_f)
 
 
+def track_batch(lmap: LocalMap, feats_b: Features, start: jnp.ndarray,
+                state: TrackState, intr: jnp.ndarray, cfg: SlamConfig,
+                min_inliers: int):
+    """Track EVERY frame of a detected batch in ONE device program: a
+    lax.scan over frames with the pose state chained inside the scan.
+    Replaces B separate track_step_lite dispatches per batch — each
+    dispatch pays ~1-2 ms host cost through the remote relay, and the
+    single program gives XLA the whole batch to schedule.
+
+    Frames with index < start pass the state through unchanged (zeroed
+    stats): a mid-batch restart re-dispatches the SAME compiled program
+    with a new start index instead of compiling per suffix length.
+
+    Returns (final TrackState, TrackLite-of-batches: every leaf gains a
+    leading [B] axis)."""
+    B = feats_b.keypoints.yx.shape[0]
+
+    def step(st, i):
+        feats = index_features(feats_b, i)
+        lite = track_step_lite(lmap, feats, st, intr, cfg, min_inliers)
+        active = i >= start
+        w = lambda a, b: jnp.where(active, a, b)     # noqa: E731
+        new_st = TrackState(R=w(lite.R, st.R), t=w(lite.t, st.t),
+                            vel=w(lite.vel, st.vel))
+        out = TrackLite(
+            R=new_st.R, t=new_st.t, vel=new_st.vel,
+            stats=jnp.where(active, lite.stats, 0.0),
+            ml_idx_a=lite.ml_idx_a, ml_idx_b=lite.ml_idx_b,
+            ml_gated=lite.ml_gated & active,
+            ml_inlier=lite.ml_inlier & active,
+            ml_x=lite.ml_x,
+            ok=lite.ok & active)
+        return new_st, out
+
+    final_st, outs = jax.lax.scan(step, state,
+                                  jnp.arange(B, dtype=jnp.int32))
+    return final_st, outs
+
+
+def lite_at(batch_lite: TrackLite, i: jnp.ndarray) -> TrackLite:
+    """Select frame i's TrackLite from a track_batch result (traced)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, keepdims=False),
+        batch_lite)
+
+
 def pack_keyframe_products(full: TrackOut, feats: Features) -> jnp.ndarray:
     """Pack every scalar/index/coordinate a keyframe promotion fetches into
     ONE f32 device buffer. Through the remote relay each fetched pytree leaf

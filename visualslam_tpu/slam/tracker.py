@@ -44,7 +44,9 @@ from visualslam_tpu.slam.track_step import (
     build_local_map,
     index_features,
     keyframe_step,
+    lite_at,
     pack_keyframe_products,
+    track_batch,
     track_step_lite,
     unpack_keyframe_products,
 )
@@ -63,11 +65,15 @@ def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
     per config."""
     frontend = jax.jit(lambda im: detect_and_describe(im, cfg))
 
-    def _kf_step(kf, fb, i, lite, intr):
+    def _kf_step(kf, fb, i, bl, intr):
         feats = index_features(fb, i)
+        lite = lite_at(bl, i)
         full = keyframe_step(kf, feats, lite, intr, cfg, max_depth)
-        # one packed f32 buffer + the sliced device-side Features: the host
-        # fetches (packed, feats.descriptors) in a single 2-leaf device_get
+        # one packed f32 buffer + the sliced device-side Features: the
+        # host fetches (packed, feats.descriptors) in a 2-leaf device_get.
+        # (bf16 descriptor transfer was tried and reverted: the rounded
+        # copies feed the loop database and the local map, and the ~0.4%
+        # descriptor noise measurably degraded loop-correction quality.)
         return pack_keyframe_products(full, feats), feats
 
     return {
@@ -80,6 +86,11 @@ def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
         "track_lite": jax.jit(
             lambda lmap, fb, i, state, intr: track_step_lite(
                 lmap, index_features(fb, i), state, intr, cfg, ok_min)),
+        # whole-batch tracking scan: ONE dispatch + ONE [B,22] readback
+        # per batch (start index re-enters mid-batch after restarts)
+        "track_batch": jax.jit(
+            lambda lmap, fb, start, state, intr: track_batch(
+                lmap, fb, start, state, intr, cfg, ok_min)),
         "kf_step": jax.jit(_kf_step),
         # [n, 22] stats matrix: ONE readback per speculation round instead
         # of one per frame (compiles once per distinct n <= batch size)
@@ -162,6 +173,7 @@ class Tracker:
         self._match = progs["match"]
         self._ransac = progs["ransac"]
         self._track_lite = progs["track_lite"]
+        self._track_batch = progs["track_batch"]
         self._kf_step = progs["kf_step"]
         self._stack_stats = progs["stack_stats"]
         # device-side caches, rebuilt at every keyframe / correction
@@ -220,15 +232,17 @@ class Tracker:
         return jax.tree_util.tree_map(lambda x: x[i], batched)
 
     def process_batch(self, imgs: np.ndarray, first_frame_id: int):
-        """Detect a batch in one device call, then track with SPECULATIVE
-        dispatch: track_step for every remaining frame of the batch is
-        enqueued back-to-back with the pose chained on device (no host
-        sync between frames), then ONE stats readback drives all the
-        keyframe/loss decisions. When a decision changes the device caches
-        (keyframe inserted, recovery), the later frames' speculative
-        results are stale and re-dispatched — results are identical to
-        per-frame processing, only the dispatch/readback schedule differs
-        (keyframes cost one extra speculation round each)."""
+        """Detect a batch in one device call, then track the WHOLE batch
+        in one scanned device program (track_batch: pose chained inside
+        the scan) and read back one [B, 22] stats matrix. Keyframe
+        promotion is DEFERRED: when a frame is promoted mid-batch, the
+        remaining frames keep their speculated results against the
+        pre-keyframe local map (they lack only the newest keyframe's
+        landmarks) and the device caches fold the keyframe in at the batch
+        boundary — so the common case is exactly one dispatch + one
+        readback per batch. Re-speculation happens only when a SECOND
+        frame of the same round wants promotion (it should see the first
+        keyframe's landmarks) or on tracking-loss recovery."""
         B = imgs.shape[0]
         with self._stage("frontend_dispatch"):
             feats_b = self.detect_batch(imgs)
@@ -236,38 +250,48 @@ class Tracker:
         i = 0
         while i < B:
             fid = first_frame_id + i
-            feats_i = self.features_at(feats_b, i)
             if not self.map.kf_order or not self.map.lm_valid.any():
                 # bootstrap / two-view init are host-driven paths
-                results.append(self.process_features(feats_i, fid))
+                results.append(self.process_features(
+                    self.features_at(feats_b, i), fid))
                 i += 1
                 continue
             if self._kf_ref is None:
                 self._refresh_device_cache()
-            outs = []
             with self._stage("track_dispatch"):
-                for j in range(i, B):
-                    out = self._track_lite(self._lmap, feats_b, np.int32(j),
-                                           self._state, self.intr)
-                    outs.append(out)
-                    self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
+                st, bl = self._track_batch(self._lmap, feats_b,
+                                           np.int32(i), self._state,
+                                           self.intr)
             with self._stage("stats_readback"):
-                # stack device-side: ONE buffer crosses the relay instead of
-                # one per frame (~25 ms per fetched leaf)
-                stats = np.asarray(
-                    self._stack_stats([o.stats for o in outs]))
-            for j, (out, st) in enumerate(zip(outs, stats)):
+                stats = np.asarray(bl.stats)        # ONE [B, 22] readback
+            self._state = st
+            kf_done = False
+            disp = "ok"
+            j = i
+            while j < B:
                 res, disp = self._commit_tracked_frame(
-                    first_frame_id + i + j, feats_b, i + j, out, st)
+                    first_frame_id + j, feats_b, bl, j, stats[j],
+                    allow_kf=not kf_done)
+                if disp == "respeculate":
+                    break
                 results.append(res)
+                if disp == "kf":
+                    kf_done = True
+                j += 1
                 if disp == "restart":
                     break
-            else:
-                i = B
-                continue
-            i += j + 1
-            # device state after a restart is set by the commit path
-            # (keyframe) or rebuilt lazily (recovery); discard speculation
+            i = j
+            if disp == "respeculate":
+                # a second keyframe this round: give it the first one's
+                # landmarks/BA state, then re-enter the scan at frame j
+                self._refresh_device_cache()
+            elif disp == "restart":
+                pass    # recovery reset the map/caches itself
+            elif kf_done:
+                # clean batch end with a deferred keyframe: fold it into
+                # the device caches for the next batch
+                with self._stage("refresh_cache"):
+                    self._refresh_device_cache()
         return results
 
     def process_features(self, feats: Features, frame_id: int) -> FrameResult:
@@ -413,22 +437,41 @@ class Tracker:
                                self.intr)
         self._state = TrackState(R=out.R, t=out.t, vel=out.vel)
         stats = np.asarray(out.stats)            # the one readback per frame
-        res, _ = self._commit_tracked_frame(frame_id, fb, 0, out, stats)
+        bl = jax.tree_util.tree_map(lambda x: x[None], out)
+        res, disp = self._commit_tracked_frame(frame_id, fb, bl, 0, stats)
+        if disp == "kf":
+            self._refresh_device_cache()
         return res
 
-    def _commit_tracked_frame(self, frame_id, fb, idx, out, stats):
+    def _commit_tracked_frame(self, frame_id, fb, bl, idx, stats,
+                              allow_kf: bool = True):
         """Apply the host-side decisions for one tracked frame given its
-        stats readback. Returns (FrameResult, disposition) where
-        disposition is "ok" for a plain tracked frame and "restart" when
-        the device caches changed (keyframe insertion, recovery) — any
-        speculatively dispatched later frames are then stale."""
+        stats readback. bl: the batch's TrackLite pytree (leading [B]
+        axis), kept on device. Returns (FrameResult | None, disposition):
+          "ok"          plain tracked frame
+          "kf"          frame promoted to keyframe (device caches NOT yet
+                        refreshed — the caller folds it in at the batch
+                        boundary or before re-speculating)
+          "respeculate" frame wants promotion but allow_kf is False (a
+                        keyframe already landed this round): nothing
+                        stored; caller refreshes caches and re-enters at
+                        this frame
+          "restart"     tracking-loss recovery reset the map."""
         n_match = int(stats[0])
         n_inl = int(stats[1])
         R = stats[4:13].reshape(3, 3).astype(np.float32)
         t = stats[13:16].astype(np.float32)
-        self._vel = stats[16:22].astype(np.float32)
 
         ok = n_inl >= self._track_ok_min
+        self._frames_since_kf += 1
+        need_kf = (self._frames_since_kf >= self.cfg.keyframe_min_gap
+                   and (n_inl < self.cfg.keyframe_min_inliers
+                        or self._frames_since_kf >= self.cfg.keyframe_max_gap))
+        if need_kf and ok and not allow_kf:
+            self._frames_since_kf -= 1      # undo; recommitted after refresh
+            return None, "respeculate"
+        self._vel = stats[16:22].astype(np.float32)
+
         if not ok:
             # Failure recovery (SURVEY.md §5): after a sustained loss the
             # map is unusable from here — drop it and re-bootstrap from the
@@ -445,23 +488,15 @@ class Tracker:
         else:
             self._lost_streak = 0
 
-        self._frames_since_kf += 1
-        need_kf = (self._frames_since_kf >= self.cfg.keyframe_min_gap
-                   and (n_inl < self.cfg.keyframe_min_inliers
-                        or self._frames_since_kf >= self.cfg.keyframe_max_gap))
         if need_kf and ok:
-            self._insert_keyframe_from_track(fb, idx, frame_id, R, t, out)
+            self._insert_keyframe_from_track(fb, bl, idx, frame_id, R, t)
             # FrameResult and the velocity chain keep the odometry (PnP)
             # pose so the exported trajectory stays internally consistent
             # with the non-keyframe frames around it; the BA-adjusted pose
             # lives in the map (PnP re-anchors against it every frame).
-            res = self._store_result(frame_id, R, t, num_matches=n_match,
-                                     num_inliers=n_inl, is_keyframe=True,
-                                     tracking_ok=True)
-            self._state = TrackState(R=jnp.asarray(self._last_R),
-                                     t=jnp.asarray(self._last_t),
-                                     vel=jnp.asarray(self._vel))
-            return res, "restart"
+            return self._store_result(frame_id, R, t, num_matches=n_match,
+                                      num_inliers=n_inl, is_keyframe=True,
+                                      tracking_ok=True), "kf"
         return self._store_result(frame_id, R, t,
                                   num_matches=n_match,
                                   num_inliers=n_inl, is_keyframe=False,
@@ -503,12 +538,12 @@ class Tracker:
         self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
         self._kf_ref = None     # stale until the next two-view init succeeds
 
-    def _insert_keyframe_from_track(self, fb, idx, frame_id, R, t, out):
-        """Promote the current frame to a keyframe using the fused track
-        step's outputs (TrackOut): tracked-landmark observations from the
-        local-map association, new landmarks from the already-triangulated
-        + gated 2D-2D matches. The only extra device readback per keyframe
-        is the two packed association buffers (a few KB)."""
+    def _insert_keyframe_from_track(self, fb, bl, idx, frame_id, R, t):
+        """Promote frame idx to a keyframe using the batch's fused track
+        outputs (bl, device-resident): tracked-landmark observations from
+        the local-map association, new landmarks from the triangulated +
+        gated 2D-2D matches. The only extra device readback per keyframe
+        is the packed product buffer + descriptors."""
         from visualslam_tpu.slam.track_step import TrackAssoc
 
         # keyframe products (2D-2D match vs last keyframe, triangulation)
@@ -516,8 +551,8 @@ class Tracker:
         # the program also returns the sliced single-frame Features so the
         # host never slices the batched pytree eagerly
         with self._stage("kf_step_dispatch"):
-            packed, feats = self._kf_step(self._kf_ref, fb, np.int32(idx),
-                                          out, self.intr)
+            packed, feats = self._kf_step(
+                self._kf_ref, fb, np.int32(idx), bl, self.intr)
         # ONE 2-leaf host fetch for everything this keyframe needs (the
         # packed f32 buffer + descriptors, which keep their own dtype)
         with self._stage("kf_readback"):
@@ -578,9 +613,10 @@ class Tracker:
                     self.loop_closer.optimize()
                     self._apply_loop_correction(slot, idx)
 
-        # 5. device caches see the new keyframe / adjusted map
-        with self._stage("refresh_cache"):
-            self._refresh_device_cache()
+        # NOTE: the device caches are NOT refreshed here — the caller
+        # decides when the new keyframe becomes visible to tracking
+        # (deferred to the batch boundary in process_batch; immediate in
+        # the single-frame path).
 
     def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
         """Move the active window (poses + landmarks) so the latest keyframe
