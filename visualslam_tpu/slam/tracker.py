@@ -234,15 +234,14 @@ class Tracker:
     def process_batch(self, imgs: np.ndarray, first_frame_id: int):
         """Detect a batch in one device call, then track the WHOLE batch
         in one scanned device program (track_batch: pose chained inside
-        the scan) and read back one [B, 22] stats matrix. Keyframe
-        promotion is DEFERRED: when a frame is promoted mid-batch, the
-        remaining frames keep their speculated results against the
-        pre-keyframe local map (they lack only the newest keyframe's
-        landmarks) and the device caches fold the keyframe in at the batch
-        boundary — so the common case is exactly one dispatch + one
-        readback per batch. Re-speculation happens only when a SECOND
-        frame of the same round wants promotion (it should see the first
-        keyframe's landmarks) or on tracking-loss recovery."""
+        the scan) and read back one [B, 22] stats matrix. After a mid-
+        batch keyframe promotion the device caches are refreshed and the
+        scan re-enters at the next frame — frames after a promotion MUST
+        see the new keyframe's landmarks (a deferred variant that let
+        them ride the stale local map was measured to triple ATE on
+        turning trajectories: the new scenery's landmarks are exactly
+        what keeps tracking alive there). Cost: one extra dispatch +
+        readback round per keyframe."""
         B = imgs.shape[0]
         with self._stage("frontend_dispatch"):
             feats_b = self.detect_batch(imgs)
@@ -265,33 +264,23 @@ class Tracker:
             with self._stage("stats_readback"):
                 stats = np.asarray(bl.stats)        # ONE [B, 22] readback
             self._state = st
-            kf_done = False
             disp = "ok"
             j = i
             while j < B:
                 res, disp = self._commit_tracked_frame(
-                    first_frame_id + j, feats_b, bl, j, stats[j],
-                    allow_kf=not kf_done)
-                if disp == "respeculate":
-                    break
+                    first_frame_id + j, feats_b, bl, j, stats[j])
                 results.append(res)
-                if disp == "kf":
-                    kf_done = True
                 j += 1
-                if disp == "restart":
+                if disp in ("kf", "restart"):
                     break
             i = j
-            if disp == "respeculate":
-                # a second keyframe this round: give it the first one's
-                # landmarks/BA state, then re-enter the scan at frame j
-                self._refresh_device_cache()
-            elif disp == "restart":
-                pass    # recovery reset the map/caches itself
-            elif kf_done:
-                # clean batch end with a deferred keyframe: fold it into
-                # the device caches for the next batch
+            if disp == "kf":
+                # fold the new keyframe (landmarks + BA/loop-adjusted
+                # poses) into the device caches, then re-enter the scan
+                # at the next frame
                 with self._stage("refresh_cache"):
                     self._refresh_device_cache()
+            # "restart": recovery reset the map/caches itself
         return results
 
     def process_features(self, feats: Features, frame_id: int) -> FrameResult:
@@ -443,20 +432,15 @@ class Tracker:
             self._refresh_device_cache()
         return res
 
-    def _commit_tracked_frame(self, frame_id, fb, bl, idx, stats,
-                              allow_kf: bool = True):
+    def _commit_tracked_frame(self, frame_id, fb, bl, idx, stats):
         """Apply the host-side decisions for one tracked frame given its
         stats readback. bl: the batch's TrackLite pytree (leading [B]
-        axis), kept on device. Returns (FrameResult | None, disposition):
-          "ok"          plain tracked frame
-          "kf"          frame promoted to keyframe (device caches NOT yet
-                        refreshed — the caller folds it in at the batch
-                        boundary or before re-speculating)
-          "respeculate" frame wants promotion but allow_kf is False (a
-                        keyframe already landed this round): nothing
-                        stored; caller refreshes caches and re-enters at
-                        this frame
-          "restart"     tracking-loss recovery reset the map."""
+        axis), kept on device. Returns (FrameResult, disposition):
+          "ok"       plain tracked frame
+          "kf"       frame promoted to keyframe (device caches NOT yet
+                     refreshed — the caller does it before re-entering
+                     the scan)
+          "restart"  tracking-loss recovery reset the map."""
         n_match = int(stats[0])
         n_inl = int(stats[1])
         R = stats[4:13].reshape(3, 3).astype(np.float32)
@@ -467,9 +451,6 @@ class Tracker:
         need_kf = (self._frames_since_kf >= self.cfg.keyframe_min_gap
                    and (n_inl < self.cfg.keyframe_min_inliers
                         or self._frames_since_kf >= self.cfg.keyframe_max_gap))
-        if need_kf and ok and not allow_kf:
-            self._frames_since_kf -= 1      # undo; recommitted after refresh
-            return None, "respeculate"
         self._vel = stats[16:22].astype(np.float32)
 
         if not ok:
