@@ -48,7 +48,11 @@ def _make_sequence(args):
         return KittiOdometrySequence(args.kitti, args.seq)
     from visualslam_tpu.io.kitti import SyntheticSequence
 
-    return SyntheticSequence(num_frames=args.synthetic)
+    return SyntheticSequence(
+        num_frames=args.synthetic,
+        h=getattr(args, "height", 240), w=getattr(args, "width", 376),
+        n_dots=getattr(args, "dots", 1500),
+        trajectory=getattr(args, "trajectory", "dolly"))
 
 
 def cmd_run(args) -> None:
@@ -85,7 +89,11 @@ def cmd_run(args) -> None:
         h, w = info.image_size
         warm_seq = SyntheticSequence(num_frames=3 * B, h=h, w=w, seed=777)
         wf = np.stack([warm_seq.frame(k) for k in range(3 * B)])
-        if np.issubdtype(np.asarray(seq.frame(0)).dtype, np.integer):
+        if (not args.kitti
+                or np.issubdtype(np.asarray(seq.frame(0)).dtype,
+                                 np.integer)):
+            # match the main loop's dtype (synthetic mode ships uint8) so
+            # the prewarmed programs are the ones the run actually uses
             wf = np.clip(wf * 255.0, 0, 255).astype(np.uint8)
         warm = Tracker(cfg, warm_seq.info().intrinsics)
         for k in range(0, 3 * B, B):
@@ -93,6 +101,21 @@ def cmd_run(args) -> None:
         del warm
         print(f"prewarm (compile + warmup world): "
               f"{time.perf_counter() - t_w:.1f}s")
+
+    pre = None
+    if not args.kitti:
+        # synthetic mode exists to exercise the SLAM engine — pre-render
+        # the whole sequence outside the timed loop (the numpy raycaster
+        # takes ~0.4 s per KITTI-sized frame, far slower than tracking;
+        # a lookahead thread cannot hide a producer slower than the
+        # consumer). Disk-backed sequences keep the prefetch thread.
+        t_r = time.perf_counter()
+        # ship 8-bit frames: the device normalizes, and the host->device
+        # link moves 4x less than float32 (what a production loader ships)
+        pre = {k: np.clip(seq.frame(k) * 255.0, 0, 255).astype(np.uint8)
+               for k in range(start, len(seq))}
+        print(f"pre-rendered {len(pre)} synthetic frames in "
+              f"{time.perf_counter() - t_r:.1f}s")
 
     t0 = time.perf_counter()
 
@@ -107,6 +130,11 @@ def cmd_run(args) -> None:
         (bounded queue): host-side frame IO overlaps device compute."""
         import queue
         import threading
+
+        if pre is not None:
+            for ids in batch_ids():
+                yield ids, np.stack([pre[i] for i in ids])
+            return
 
         q: "queue.Queue" = queue.Queue(maxsize=3)
 
@@ -334,6 +362,15 @@ def main(argv=None) -> None:
     r.add_argument("--seq", default="00")
     r.add_argument("--synthetic", type=int, default=50,
                    help="use N synthetic frames (when --kitti not given)")
+    r.add_argument("--width", type=int, default=376,
+                   help="synthetic world frame width")
+    r.add_argument("--height", type=int, default=240,
+                   help="synthetic world frame height")
+    r.add_argument("--dots", type=int, default=1500,
+                   help="synthetic world landmark count")
+    r.add_argument("--trajectory", default="dolly",
+                   choices=["dolly", "arc", "loop"],
+                   help="synthetic camera path")
     r.add_argument("--frontend", default="sift",
                    choices=["sift", "orb", "harris"])
     r.add_argument("--profile", default="fast",
