@@ -93,3 +93,35 @@ def test_ratio_test_rejects_ambiguous():
     # sanity: with a permissive ratio the best match IS found
     m2 = match_features(fa, fb, MatchConfig(ratio=0.95, max_matches=8))
     assert int(m2.count()) == 1
+
+
+def test_match_two_nn_semantics_vs_bruteforce(rng):
+    """The matcher's best/second-best/nn come from three reduction passes
+    (min, argmin, masked second-min) — NOT lax.top_k, whose k>1 form
+    lowers to a full per-row sort on TPU (~20 ms at [2048, 2048]). This
+    pins the reduction-pass formulation to exact brute-force 2-NN
+    semantics so the sort can never silently come back."""
+    a = rng.standard_normal((96, 32)).astype(np.float32)
+    b = rng.standard_normal((96, 32)).astype(np.float32)
+    valid_a = rng.random(96) > 0.2
+    valid_b = rng.random(96) > 0.2
+    cfg = MatchConfig(max_matches=96, ratio=0.95, mutual=True)
+    m = match_features(make_features(a, valid_a),
+                       make_features(b, valid_b), cfg)
+
+    d = ((a[:, None] - b[None]) ** 2).sum(-1)
+    d[~valid_a] = np.inf
+    d[:, ~valid_b] = np.inf
+    nn = d.argmin(1)
+    part = np.sort(d, axis=1)
+    ratio_ok = part[:, 0] < cfg.ratio ** 2 * part[:, 1]
+    col_nn = d.argmin(0)
+    mutual_ok = col_nn[nn] == np.arange(96)
+    want = valid_a & np.isfinite(part[:, 0]) & ratio_ok & mutual_ok
+
+    got_pairs = {(int(ia), int(ib))
+                 for ia, ib, v in zip(np.asarray(m.idx_a),
+                                      np.asarray(m.idx_b),
+                                      np.asarray(m.valid)) if v}
+    want_pairs = {(int(i), int(nn[i])) for i in np.nonzero(want)[0]}
+    assert got_pairs == want_pairs
