@@ -36,6 +36,37 @@ def save_checkpoint(path: str, tracker) -> None:
         blobs["alp_uid"] = np.asarray(list(m.archived_lm_pos.keys()),
                                       np.int64)
         blobs["alp_pos"] = np.stack(list(m.archived_lm_pos.values()))
+    # device-resident engine state (slam/engine.py): the keyframe
+    # reference, local-map descriptors and the loop database live on
+    # device in engine mode — fetch them so a resumed run re-enters the
+    # engine with its full context. Database rings are sliced to the live
+    # entry count (the rest is zeros).
+    if getattr(tracker, "_eng_persist", None) is not None:
+        import jax
+
+        p = jax.device_get(tracker._eng_persist)
+        n = int(tracker._eng_db_n)
+        blobs.update(
+            eng_kf_desc=p.kf_desc, eng_kf_yx=p.kf_yx,
+            eng_kf_valid=p.kf_valid, eng_kf_has_lm=p.kf_has_lm,
+            eng_lm_desc=p.lm_desc, eng_lm_last=p.lm_last,
+            eng_db_g=p.db_g[:n], eng_db_desc=p.db_desc[:n],
+            eng_db_yx=p.db_yx[:n], eng_db_lmw=p.db_lmw[:n],
+            eng_db_haslm=p.db_haslm[:n], eng_db_R=p.db_R[:n],
+            eng_db_t=p.db_t[:n],
+            eng_db_n=np.int64(n),
+            eng_ids=tracker._eng_ids, eng_uids=tracker._eng_uids)
+    lc = getattr(tracker, "loop_closer", None)
+    if lc is not None and lc.entries:
+        blobs["lc_fids"] = np.asarray([e.frame_id for e in lc.entries],
+                                      np.int64)
+        blobs["lc_R"] = np.stack([e.R for e in lc.entries])
+        blobs["lc_t"] = np.stack([e.t for e in lc.entries])
+        if lc.loop_edges:
+            blobs["lc_edges"] = np.stack([
+                np.concatenate([[e.i, e.j, e.num_inliers, e.scale],
+                                e.R.ravel(), e.t]).astype(np.float64)
+                for e in lc.loop_edges])
     frames = np.array(
         [(f.frame_id, f.num_matches, f.num_inliers, int(f.is_keyframe),
           int(f.tracking_ok)) for f in tracker.frames], np.int64)
@@ -112,6 +143,49 @@ def load_checkpoint(path: str, tracker) -> None:
     tracker._last_t = z["last_t"].copy()
     tracker._vel = z["vel"].copy()
     tracker._frames_since_kf = int(z["frames_since_kf"])
+    lc = getattr(tracker, "loop_closer", None)
+    if lc is not None and "lc_fids" in z:
+        from visualslam_tpu.slam.loop_closure import LoopEdge
+
+        for fid, R, t in zip(z["lc_fids"], z["lc_R"], z["lc_t"]):
+            lc.add_keyframe_light(int(fid), R, t)
+        if "lc_edges" in z:
+            for row in z["lc_edges"]:
+                lc.loop_edges.append(LoopEdge(
+                    i=int(row[0]), j=int(row[1]),
+                    R=row[4:13].reshape(3, 3).astype(np.float32),
+                    t=row[13:16].astype(np.float32),
+                    num_inliers=int(row[2]), scale=float(row[3])))
+    if "eng_kf_desc" in z and getattr(tracker, "engine", False):
+        from visualslam_tpu.slam.engine import EnginePersist
+
+        CAP = tracker.cfg.loop.db_capacity
+        n = int(z["eng_db_n"])
+
+        def ring(name, tail):
+            full = np.zeros((CAP,) + tail, z[name].dtype)
+            full[:n] = z[name]
+            return jnp.asarray(full)
+
+        p = EnginePersist(
+            kf_desc=jnp.asarray(z["eng_kf_desc"]),
+            kf_yx=jnp.asarray(z["eng_kf_yx"]),
+            kf_valid=jnp.asarray(z["eng_kf_valid"]),
+            kf_has_lm=jnp.asarray(z["eng_kf_has_lm"]),
+            lm_desc=jnp.asarray(z["eng_lm_desc"]),
+            lm_last=jnp.asarray(z["eng_lm_last"]),
+            db_g=ring("eng_db_g", z["eng_db_g"].shape[1:]),
+            db_desc=ring("eng_db_desc", z["eng_db_desc"].shape[1:]),
+            db_yx=ring("eng_db_yx", z["eng_db_yx"].shape[1:]),
+            db_lmw=ring("eng_db_lmw", z["eng_db_lmw"].shape[1:]),
+            db_haslm=ring("eng_db_haslm", z["eng_db_haslm"].shape[1:]),
+            db_R=ring("eng_db_R", z["eng_db_R"].shape[1:]),
+            db_t=ring("eng_db_t", z["eng_db_t"].shape[1:]))
+        tracker._eng_persist = p
+        tracker._eng_ids = z["eng_ids"].copy()
+        tracker._eng_uids = z["eng_uids"].copy()
+        tracker._eng_db_n = n
+        tracker._eng_ready = True
     # rebuild the jax-side previous-feature cache from the last keyframe
     if m.kf_order:
         s = m.kf_order[-1]

@@ -65,8 +65,9 @@ class KeyframeEntry:
     frame_id: int
     R: np.ndarray           # world-to-camera at insertion (odometry frame)
     t: np.ndarray
-    global_desc: np.ndarray  # [D]
-    desc: np.ndarray        # [Ks, D] subsampled local descriptors
+    global_desc: np.ndarray  # [D] (None for device-resident entries)
+    desc: np.ndarray        # [Ks, D] subsampled local descriptors (or None:
+    #                         engine mode keeps them on device, engine.py)
     yx: np.ndarray          # [Ks, 2]
     lm_world: np.ndarray    # [Ks, 3] associated landmark positions
     has_lm: np.ndarray      # [Ks] bool
@@ -288,6 +289,36 @@ class LoopCloser:
         self.entries.append(entry)
         return len(self.entries) - 1
 
+    def add_keyframe_light(self, frame_id: int, R, t) -> int:
+        """Register a keyframe whose descriptors/landmark snapshot live in
+        the DEVICE database (slam/engine.py): only the pose-graph-relevant
+        pose is mirrored host-side. Entry indices stay aligned 1:1 with the
+        device ring."""
+        self.entries.append(KeyframeEntry(
+            frame_id=frame_id,
+            R=np.array(R, np.float32, copy=True),
+            t=np.array(t, np.float32, copy=True),
+            global_desc=None, desc=None, yx=None,
+            lm_world=None, has_lm=None))
+        return len(self.entries) - 1
+
+    def add_device_edge(self, i: int, j: int, Rb: np.ndarray,
+                        tb: np.ndarray, num_inliers: int,
+                        s_oc: float) -> LoopEdge:
+        """Accept a loop edge whose geometric verification ran on device
+        (engine promotion branch): (Rb, tb) is candidate camera i's pose in
+        the CURRENT world frame from PnP against keyframe j's landmarks,
+        s_oc the device-estimated old/current metric ratio. Composes the
+        same Sim(3) measurement as _edge_from_packed."""
+        a = self.entries[j]
+        s = float(s_oc) if self.use_sim3 else 1.0
+        Rm, tm, sm = _np_sim3_compose(
+            *_np_sim3_inverse(Rb, s * tb, s), a.R, a.t, 1.0)
+        edge = LoopEdge(i=i, j=j, R=np.asarray(Rm), t=np.asarray(tm),
+                        num_inliers=num_inliers, scale=float(sm))
+        self.loop_edges.append(edge)
+        return edge
+
     # ------------------------------------------------------------------
 
     def detect(self, j: int, top_k: int = 3) -> Optional[LoopEdge]:
@@ -301,11 +332,16 @@ class LoopCloser:
         if j != n - 1 or n <= self.exclude + 1:
             return None
         cur = self.entries[j]
-        past = np.stack([e.global_desc for e in
-                         self.entries[: n - self.exclude - 1]])
+        if cur.global_desc is None:
+            return None     # device-resident entry: the engine detects
+        past = np.stack([
+            e.global_desc if e.global_desc is not None
+            else np.zeros_like(cur.global_desc)
+            for e in self.entries[: n - self.exclude - 1]])
         sims = past @ cur.global_desc
         order = [int(i) for i in np.argsort(-sims)[: top_k]
-                 if sims[i] >= self.cos_thresh]
+                 if sims[i] >= self.cos_thresh
+                 and self.entries[i].desc is not None]
         if not order:
             return None
         # all surviving candidates verify in ONE dispatch + readback
@@ -406,7 +442,12 @@ class LoopCloser:
             return None
         desc, valid, resp, yx = self._prep_features(feats)
         g = self.global_descriptor(desc, resp, valid)
-        sims = np.stack([e.global_desc for e in self.entries]) @ g
+        # device-resident (light) entries can't be matched host-side; the
+        # engine uses engine_relocalize for those (slam/engine.py)
+        sims = np.stack([
+            e.global_desc if e.global_desc is not None
+            else np.zeros_like(g)
+            for e in self.entries]) @ g
         thresh = (self.cos_thresh if cosine_threshold is None
                   else cosine_threshold)
 
@@ -546,7 +587,8 @@ class LoopCloser:
         if propagate:
             for k, e in enumerate(self.entries):
                 Rg, tg, sg = self.last_corrections[k]
-                e.lm_world = sg * (e.lm_world @ Rg.T) + tg
+                if e.lm_world is not None:      # device entries propagate
+                    e.lm_world = sg * (e.lm_world @ Rg.T) + tg  # on device
                 Rk, tk = self.corrected[k]
                 e.R = np.array(Rk, np.float32, copy=True)
                 e.t = np.array(tk, np.float32, copy=True)

@@ -115,8 +115,9 @@ class SlamMap:
         self.kf_frame_id[slot] = frame_id
         # host copy: the local-map rebuild gathers descriptors per keyframe
         # on every keyframe insertion — one device->host transfer here beats
-        # repeated readbacks there
-        self.kf_desc[slot] = np.asarray(desc)
+        # repeated readbacks there. Engine-mode keyframes (slam/engine.py)
+        # keep descriptors device-resident and pass None.
+        self.kf_desc[slot] = None if desc is None else np.asarray(desc)
         self.kf_yx[slot] = yx
         self.kf_kp_valid[slot] = kp_valid
         self.kf_kp_lm[slot][:] = -1

@@ -114,10 +114,16 @@ class Tracker:
 
     def __init__(self, cfg: SlamConfig, intrinsics, init_depth: float = 20.0,
                  run_ba: bool = True, loop_closure: bool | None = None,
-                 mesh=None):
+                 mesh=None, engine: bool = True):
         """mesh: optional jax.sharding.Mesh with a 'shard' axis — window BA
         (and global_ba unless overridden) runs trajectory-sharded across its
-        devices (parallel/traj_ba.py)."""
+        devices (parallel/traj_ba.py).
+
+        engine: process_batch runs the device-resident engine
+        (slam/engine.py — keyframe promotion, local-map maintenance and
+        loop retrieval/verification all inside ONE scanned device program
+        per batch). False falls back to the round-3 host-orchestrated
+        keyframe path (one extra dispatch/readback round per keyframe)."""
         from visualslam_tpu.slam.map_state import SlamMap
 
         if cfg.frontend == "orb" and cfg.match.metric != "hamming":
@@ -181,6 +187,17 @@ class Tracker:
         self._lmap: Optional[LocalMap] = None
         self._lmap_ids = np.full(cfg.local_map_size, -1, np.int64)
         self._state: Optional[TrackState] = None
+        # device-resident engine state (slam/engine.py)
+        self.engine = engine
+        from visualslam_tpu.slam import engine as _engine
+
+        self._eng_progs = _engine.engine_programs(
+            cfg, self._track_ok_min, float(init_depth) * 20.0)
+        self._eng_persist = None     # EnginePersist (device pytree)
+        self._eng_ids = None         # [Kl] map landmark slot per engine slot
+        self._eng_uids = None        # [Kl] landmark uid at association time
+        self._eng_db_n = 0           # loop-database entries in the ring
+        self._eng_ready = False      # device state in sync with host map
         # optional utils.profiling.StageTimer — set by benchmarks/CLI to
         # attribute wall time to pipeline stages (readbacks absorb device
         # time; dispatch stages measure host dispatch cost only)
@@ -255,6 +272,10 @@ class Tracker:
                     self.features_at(feats_b, i), fid))
                 i += 1
                 continue
+            if self.engine:
+                out, i = self._engine_run(feats_b, first_frame_id, i, B)
+                results.extend(out)
+                continue
             if self._kf_ref is None:
                 self._refresh_device_cache()
             with self._stage("track_dispatch"):
@@ -282,6 +303,234 @@ class Tracker:
                     self._refresh_device_cache()
             # "restart": recovery reset the map/caches itself
         return results
+
+    # ------------------------------------------------------------------
+    # device-resident engine (slam/engine.py)
+    # ------------------------------------------------------------------
+
+    def _engine_enter(self) -> None:
+        """(Re)build the engine's device state from the host map — on first
+        engine batch after bootstrap/init, after a recovery, or after a
+        checkpoint resume. A surviving device loop database is carried
+        forward (its entries stay retrievable for relocalization)."""
+        from visualslam_tpu.slam.engine import build_persist_from_host
+
+        entries = self.loop_closer.entries if self.loop_closer else None
+        persist, ids, db_n = build_persist_from_host(
+            self.map, self.cfg, db_entries=entries,
+            old_persist=self._eng_persist)
+        self._eng_persist = persist
+        self._eng_ids = ids.astype(np.int64)
+        g = np.maximum(ids, 0)
+        self._eng_uids = np.where(ids >= 0, self.map.lm_uid[g], -1)
+        if db_n is not None:
+            self._eng_db_n = db_n
+        self._eng_ready = True
+
+    def _engine_dyn(self, start_i: int, first_fid: int):
+        """Per-batch host->device inputs: pose state, post-BA keyframe pose,
+        and the local-map window truth (positions + membership) resolved
+        through the slot->landmark mirror."""
+        from visualslam_tpu.slam.engine import EngineDyn
+
+        ids = self._eng_ids
+        ok = ids >= 0
+        g = np.maximum(ids, 0)
+        ok &= self.map.lm_valid[g] & (self.map.lm_uid[g] == self._eng_uids)
+        ids[~ok] = -1
+        self._eng_uids[~ok] = -1
+        X = np.zeros((len(ids), 3), np.float32)
+        X[ok] = self.map.X[g[ok]]
+        last = self.map.last_keyframe_slot()
+        return EngineDyn(
+            R=jnp.asarray(self._last_R), t=jnp.asarray(self._last_t),
+            vel=jnp.asarray(self._vel),
+            kf_R=jnp.asarray(self.map.kf_R[last]),
+            kf_t=jnp.asarray(self.map.kf_t[last]),
+            lm_X=jnp.asarray(X), lm_valid=jnp.asarray(ok),
+            since_kf=jnp.int32(self._frames_since_kf),
+            frame_base=jnp.int32(first_fid),
+            db_n=jnp.int32(self._eng_db_n),
+            start=jnp.int32(start_i))
+
+    def _engine_run(self, feats_b, first_fid: int, i0: int, B: int):
+        """Track frames [i0, B) of a detected batch with the device engine:
+        ONE dispatch + ONE packed readback for the whole span, promotions
+        included. Returns (FrameResults, next index) — next < B only when a
+        sustained tracking loss forced a mid-batch recovery."""
+        from visualslam_tpu.slam.engine import decode_packed, decode_loop_row
+
+        self._flush_pending_ba(wait=False)
+        if not self._eng_ready:
+            self._engine_enter()
+        dyn = self._engine_dyn(i0, first_fid)
+        with self._stage("engine_dispatch"):
+            packed_dev, persist = self._eng_progs["batch"](
+                self._eng_persist, dyn, feats_b, self.intr)
+        self._eng_persist = persist
+        with self._stage("engine_readback"):
+            packed = np.asarray(packed_dev)
+        M = self.cfg.match.max_matches
+        P = max(1, -(-B // max(1, self.cfg.keyframe_min_gap)))
+        stats, recs, _ = decode_packed(packed, B, M, P)
+        rec_by_frame = {r.frame: r for r in recs}
+
+        results: list[FrameResult] = []
+        loop_hits = []
+        n_applied = 0
+        for j in range(i0, B):
+            fid = first_fid + j
+            srow = stats[j]
+            n_match = int(srow[0])
+            n_inl = int(srow[1])
+            R = srow[4:13].reshape(3, 3).astype(np.float32)
+            t = srow[13:16].astype(np.float32)
+            promoted = srow[22] > 0.5
+            ok = n_inl >= self._track_ok_min
+            self._frames_since_kf += 1
+            self._vel = srow[16:22].astype(np.float32)
+            if not ok:
+                self._lost_streak += 1
+                if self._lost_streak > self.max_lost_frames:
+                    # commit what was applied, then host-driven recovery;
+                    # device db entries past the applied count are dropped
+                    # (the ring reuses their slots on the next promotion)
+                    self._eng_db_n += n_applied
+                    from_db = self._recover(
+                        self.features_at(feats_b, j), fid)
+                    results.append(self._store_result(
+                        fid, self._last_R, self._last_t,
+                        num_matches=n_match, num_inliers=0,
+                        is_keyframe=True, tracking_ok=from_db))
+                    return results, j + 1
+            else:
+                self._lost_streak = 0
+            if promoted:
+                rec = rec_by_frame[j]
+                with self._stage("kf_apply"):
+                    hit = self._engine_apply_prom(rec, fid, R, t)
+                n_applied += 1
+                self._frames_since_kf = 0
+                if hit is not None:
+                    loop_hits.append(hit)
+                results.append(self._store_result(
+                    fid, R, t, num_matches=rec.n2d, num_inliers=n_inl,
+                    is_keyframe=True, tracking_ok=True))
+            else:
+                results.append(self._store_result(
+                    fid, R, t, num_matches=n_match, num_inliers=n_inl,
+                    is_keyframe=False, tracking_ok=ok))
+        self._eng_db_n += n_applied
+
+        # batch-boundary backend work: ONE (async) window BA dispatch, and
+        # the pose graph only when a verified loop edge came back
+        if recs and self.run_ba:
+            with self._stage("window_ba"):
+                self._run_window_ba()
+        if loop_hits:
+            with self._stage("loop_optimize"):
+                self._engine_apply_loops()
+        return results, B
+
+    def _engine_apply_prom(self, rec, fid: int, R, t):
+        """Fold one device promotion record into the host map: keyframe
+        slot, tracked-landmark observations, new landmarks (already
+        triangulated + slot-assigned on device), the loop-database mirror
+        entry, and any verified loop edge. Returns (slot, db_idx) when an
+        edge was accepted, else None."""
+        prev_kf = self.map.last_keyframe_slot()
+        slot, _ = self.map.allocate_keyframe()
+        self.map.set_keyframe(slot, fid, R, t, None, None, None)
+
+        ids = self._eng_ids
+        Kl = len(ids)
+        gid = ids[np.clip(rec.lm_slot, 0, Kl - 1)]
+        sel = rec.lm_obs & (rec.lm_slot < Kl) & (gid >= 0)
+        g = np.maximum(gid, 0)
+        sel &= (self.map.lm_valid[g]
+                & (self.map.lm_uid[g]
+                   == self._eng_uids[np.clip(rec.lm_slot, 0, Kl - 1)]))
+        if sel.any():
+            self.map.add_observations(slot, gid[sel], rec.lm_x[sel])
+            self.map.kf_kp_lm[slot][rec.lm_kp[sel]] = gid[sel]
+
+        good = rec.tri_good & (rec.tri_slot >= 0) & (rec.tri_slot < Kl)
+        if good.any():
+            lm_idx = self.map.allocate_landmarks(rec.tri_X[good])
+            self.map.add_observations(prev_kf, lm_idx, rec.m_x1[good])
+            self.map.add_observations(slot, lm_idx, rec.m_x2[good])
+            self.map.kf_kp_lm[prev_kf][rec.m_idx_a[good]] = lm_idx
+            self.map.kf_kp_lm[slot][rec.m_idx_b[good]] = lm_idx
+            ts = rec.tri_slot[good]
+            ids[ts] = lm_idx
+            self._eng_uids[ts] = self.map.lm_uid[lm_idx]
+
+        if self.loop_closer is None:
+            return None
+        lc = self.loop_closer
+        db_idx = lc.add_keyframe_light(fid, R, t)
+        for row in rec.loop:
+            from visualslam_tpu.slam.engine import decode_loop_row
+
+            cand, sim, n_usable, n_inl, Rb, tb, scale, _ = \
+                decode_loop_row(row)
+            if (0 <= cand < db_idx and sim >= lc.cos_thresh
+                    and n_usable >= lc.min_inliers
+                    and n_inl >= lc.min_inliers):
+                lc.add_device_edge(cand, db_idx, Rb, tb, n_inl, scale)
+                self.num_loop_closures += 1
+                return (slot, db_idx)
+        return None
+
+    def _engine_apply_loops(self) -> None:
+        """Pose-graph optimization for loop edges accepted this batch, then
+        correction of the host window (poses + landmarks) and of the device
+        database (entry poses + landmark snapshots)."""
+        lc = self.loop_closer
+        lc.optimize()
+        self._apply_loop_correction(self.map.last_keyframe_slot(),
+                                    len(lc.entries) - 1)
+        # propagate into the device database ring
+        n = min(len(lc.entries), self._eng_persist.db_g.shape[0])
+        CAP = self._eng_persist.db_g.shape[0]
+        Rg = np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1))
+        tg = np.zeros((CAP, 3), np.float32)
+        sg = np.ones(CAP, np.float32)
+        Rc = np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1))
+        tc = np.zeros((CAP, 3), np.float32)
+        for k in range(n):
+            Rg[k], tg[k], sg[k] = lc.last_corrections[k]
+            Rc[k], tc[k] = lc.corrected[k]
+        self._eng_persist = self._eng_progs["db_correct"](
+            self._eng_persist, jnp.asarray(Rg), jnp.asarray(tg),
+            jnp.asarray(sg), jnp.asarray(Rc), jnp.asarray(tc),
+            jnp.int32(n))
+
+    def _engine_append_host_entry(self, entry) -> None:
+        """Mirror a host-path loop-database entry (e.g. the two-view-init
+        keyframes after a recovery) into the device ring so ring indices
+        stay aligned with LoopCloser.entries."""
+        if self._eng_persist is None or entry.desc is None:
+            self._eng_db_n += 1
+            return
+        p = self._eng_persist
+        Ks, Df = p.db_desc.shape[1], p.db_desc.shape[2]
+        k = min(Ks, entry.desc.shape[0])
+
+        def fit(a, shape, dtype=np.float32):
+            out = np.zeros(shape, dtype)
+            out[:k] = a[:k]
+            return out
+
+        self._eng_persist = self._eng_progs["db_append"](
+            p, jnp.int32(self._eng_db_n),
+            jnp.asarray(entry.global_desc.astype(np.float32)),
+            jnp.asarray(fit(entry.desc, (Ks, Df))),
+            jnp.asarray(fit(entry.yx, (Ks, 2))),
+            jnp.asarray(fit(entry.lm_world, (Ks, 3))),
+            jnp.asarray(fit(entry.has_lm, (Ks,), bool)),
+            jnp.asarray(entry.R), jnp.asarray(entry.t))
+        self._eng_db_n += 1
 
     def process_features(self, feats: Features, frame_id: int) -> FrameResult:
         """Run tracking on precomputed Features (lets tests and alternative
@@ -387,6 +636,12 @@ class Tracker:
             self.loop_closer.add_keyframe(
                 frame_id, self.map.kf_R[slot], self.map.kf_t[slot], feats,
                 self.map.kf_kp_lm[slot], self.map.X)
+            if self.engine and self._eng_persist is not None:
+                # keep the device loop-database ring aligned with the
+                # host entry list (post-recovery re-init path)
+                self._engine_append_host_entry(self.loop_closer.entries[-2])
+                self._engine_append_host_entry(self.loop_closer.entries[-1])
+        self._eng_ready = False
         res = self._store_result(frame_id, self.map.kf_R[slot],
                                  self.map.kf_t[slot],
                                  num_matches=int(m.count()), num_inliers=n,
@@ -402,6 +657,13 @@ class Tracker:
         host mutation the fused track step must see: keyframe insertion, BA
         writeback, loop correction, checkpoint resume."""
         kf = self.map.last_keyframe_slot()
+        if self.map.kf_desc[kf] is None and self._eng_persist is not None:
+            # engine-made keyframe: descriptors live on device — fetch once
+            # so the host path can interoperate (mixed-mode usage)
+            p = self._eng_persist
+            self.map.kf_desc[kf] = np.asarray(p.kf_desc)
+            self.map.kf_yx[kf] = np.asarray(p.kf_yx)
+            self.map.kf_kp_valid[kf] = np.asarray(p.kf_valid)
         desc = self.map.kf_desc[kf]
         kp_lm = self.map.kf_kp_lm[kf]
         self._kf_ref = KeyframeRef(
@@ -492,7 +754,27 @@ class Tracker:
         re-bootstrapping at the dead-reckoned last pose. Returns True when
         the pose came from the database."""
         from_db = False
-        if self.loop_closer is not None:
+        if (self.engine and self._eng_persist is not None
+                and self._eng_db_n > 0 and self.loop_closer is not None):
+            # device-resident database: retrieval + verification on device
+            from visualslam_tpu.slam.engine import decode_loop_row
+
+            rows = np.asarray(self._eng_progs["relocalize"](
+                self._eng_persist, jnp.int32(self._eng_db_n), feats,
+                self.intr))
+            lc = self.loop_closer
+            for row in rows:
+                cand, sim, n_usable, n_inl, Rq, tq, _, _ = \
+                    decode_loop_row(row)
+                if (cand >= 0 and sim >= lc.cos_thresh
+                        and n_usable >= lc.min_inliers
+                        and n_inl >= lc.min_inliers):
+                    self._last_R = np.array(Rq, np.float32, copy=True)
+                    self._last_t = np.array(tq, np.float32, copy=True)
+                    self.db_relocalizations += 1
+                    from_db = True
+                    break
+        elif self.loop_closer is not None:
             r = self.loop_closer.relocalize(feats)
             if r is not None:
                 R, t, _, _ = r
@@ -518,6 +800,7 @@ class Tracker:
         self._vel = np.zeros(6, np.float32)
         self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
         self._kf_ref = None     # stale until the next two-view init succeeds
+        self._eng_ready = False
 
     def _insert_keyframe_from_track(self, fb, bl, idx, frame_id, R, t):
         """Promote frame idx to a keyframe using the batch's fused track
@@ -588,6 +871,9 @@ class Tracker:
                 idx = self.loop_closer.add_keyframe(
                     frame_id, self.map.kf_R[slot], self.map.kf_t[slot],
                     feats_np, self.map.kf_kp_lm[slot], self.map.X)
+                if self.engine and self._eng_persist is not None:
+                    self._engine_append_host_entry(
+                        self.loop_closer.entries[-1])
                 edge = self.loop_closer.detect(idx)
                 if edge is not None:
                     self.num_loop_closures += 1
@@ -598,6 +884,7 @@ class Tracker:
         # decides when the new keyframe becomes visible to tracking
         # (deferred to the batch boundary in process_batch; immediate in
         # the single-frame path).
+        self._eng_ready = False     # engine device state now stale
 
     def _apply_loop_correction(self, slot: int, db_idx: int) -> None:
         """Move the active window (poses + landmarks) so the latest keyframe

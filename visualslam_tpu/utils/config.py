@@ -256,6 +256,9 @@ class LoopConfig(_Base):
     cosine_threshold: float = 0.85      # global-descriptor retrieval gate
     min_inliers: int = 25               # PnP inliers to accept a loop
     exclude_recent: int = 10            # temporal exclusion window (keyframes)
+    db_capacity: int = 512              # device-resident database entries
+    #                                     (slam/engine.py ring; static per
+    #                                     compiled batch program)
     sim3: bool = True                   # 7-DoF Sim(3) graph (monocular scale
     #                                     drift); False = rigid SE(3) graph
 
