@@ -1,7 +1,8 @@
 """TPU lane payload — run in a FRESH interpreter (no CPU pin) by
 tests/test_tpu_lane.py. Exercises, on the real TPU backend:
 
-  1. every Pallas kernel (distance 2-NN, extrema) compiled + executed,
+  1. every Pallas kernel (distance 2-NN, extrema, fused orientation/
+     descriptor, blur) compiled + executed,
      checked against its XLA equivalent;
   2. one full detect_and_describe on a bundled reference image;
   3. one fused track_step_lite + keyframe_step on synthetic features;
@@ -65,6 +66,65 @@ def main() -> None:
     assert np.allclose(s_pl[m_xla], np.abs(np.asarray(dog))[m_xla]), \
         "pallas extrema score mismatch"
     out["pallas_extrema"] = "ok"
+
+    # ---- 1c. fused orientation/descriptor kernels vs XLA stages ------
+    from visualslam_tpu.ops.histograms import gaussian_window, soft_histogram
+    from visualslam_tpu.ops.pallas.descriptor import (
+        pallas_descriptor, pallas_orient_hist)
+    from visualslam_tpu.ops.patches import (
+        crop_patches, rotated_grid, tent_sample_patches)
+
+    Kd = 48
+    stack = rng.random((3, 96, 200, 2)).astype(np.float32)
+    stack[..., 1] *= 360.0
+    yxs = np.stack([rng.integers(10, 86, Kd), rng.integers(10, 190, Kd)],
+                   -1).astype(np.float32)
+    lvls = rng.integers(0, 3, Kd).astype(np.int32)
+    patches, py0, px0 = crop_patches(jnp.asarray(stack), jnp.asarray(lvls),
+                                     jnp.asarray(yxs), 28)
+    sig = jnp.asarray(1.5 + rng.random(Kd).astype(np.float32) * 3.0)
+    h_k = np.asarray(pallas_orient_hist(patches, py0, px0,
+                                        jnp.asarray(yxs), sig, 36))
+    offs = jnp.arange(16, dtype=jnp.float32) - 8
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+    grid = jnp.stack([gy, gx], axis=-1)[None]
+    both = tent_sample_patches(patches, py0, px0,
+                               jnp.asarray(yxs)[:, None, None, :] + grid)
+    w = gaussian_window(16, sig)
+    h_x = np.asarray(soft_histogram(both[..., 1].reshape(Kd, -1),
+                                    (both[..., 0] * w).reshape(Kd, -1),
+                                    36, 360.0))
+    assert np.allclose(h_k, h_x, rtol=1e-3, atol=1e-3), "orient kernel"
+    ang = jnp.asarray(rng.random(Kd).astype(np.float32) * 360.0)
+    d_k = np.asarray(pallas_descriptor(patches, py0, px0,
+                                       jnp.asarray(yxs), ang, 4, 8))
+    coords = rotated_grid(jnp.asarray(yxs), ang, 16)
+    both2 = tent_sample_patches(patches, py0, px0, coords)
+    rel = jnp.mod(both2[..., 1] - ang[:, None, None], 360.0)
+    ws = gaussian_window(16, 8.0)
+
+    def _reg(a):
+        a = a.reshape(Kd, 4, 4, 4, 4)
+        return a.transpose(0, 1, 3, 2, 4).reshape(Kd, 16, 16)
+
+    d_x = np.asarray(soft_histogram(
+        _reg(rel), _reg(both2[..., 0] * ws[None]), 8, 360.0)).reshape(Kd, -1)
+    assert np.allclose(d_k, d_x, rtol=1e-3, atol=1e-3), "descriptor kernel"
+    out["pallas_descriptor"] = "ok"
+
+    # ---- 1d. Pallas blur kernel vs XLA blur (matmul path) ------------
+    # reference = blur_stack_matmul (the pyramid default): on TPU the
+    # conv_general path runs MXU bf16 passes (~2.6e-3 off scipy) while
+    # both the matmul path and the kernel are scipy-exact (~2e-7)
+    from visualslam_tpu.ops.blur import blur_stack_matmul
+    from visualslam_tpu.ops.pallas.blur import pallas_blur_stack
+
+    im_b = jnp.asarray(rng.random((96, 200)).astype(np.float32))
+    sig_b = (1.2, 2.0)
+    b_pl = np.asarray(pallas_blur_stack(im_b, sig_b))
+    b_xla = np.asarray(blur_stack_matmul(im_b, sig_b))
+    assert np.allclose(b_pl, b_xla, rtol=1e-4, atol=1e-4), "blur kernel"
+    out["pallas_blur"] = "ok"
 
     # ---- 2. full frontend on a bundled reference image ---------------
     from visualslam_tpu.frontend import detect_and_describe_jit

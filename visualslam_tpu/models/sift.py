@@ -39,12 +39,21 @@ from visualslam_tpu.ops.histograms import (
     soft_histogram,
 )
 from visualslam_tpu.ops.patches import (
-    extract_patches,
+    crop_patches,
     rotated_grid,
-    sample_bilinear_patches,
+    tent_sample_patches,
 )
 from visualslam_tpu.utils.config import PyramidConfig, SiftConfig
 from visualslam_tpu.utils.masked import top_k_select
+
+
+def _use_pallas_patches(cfg: SiftConfig) -> bool:
+    """patch_impl resolution: "auto" = the fused kernels wherever a real
+    Pallas backend exists (TPU), the XLA formulation on CPU (the Pallas
+    interpreter is a correctness tool, ~10x slower than XLA there)."""
+    if cfg.patch_impl == "auto":
+        return jax.default_backend() != "cpu"
+    return cfg.patch_impl == "pallas"
 
 
 class _OctaveKps(NamedTuple):
@@ -56,33 +65,51 @@ class _OctaveKps(NamedTuple):
     valid: jnp.ndarray      # [K] bool
 
 
-def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
+def _orientation_pass(patches, py0, px0, lvl, y, x, offset,
                       response, valid, pyr_cfg: PyramidConfig,
-                      cfg: SiftConfig) -> _OctaveKps:
+                      cfg: SiftConfig):
     """Assign up to cfg.max_orientations orientations per candidate, then
-    re-select the per-octave top-K among the spawned keypoints."""
+    re-select the per-octave top-K among the spawned keypoints.
+
+    patches/py0/px0: ONE pre-cropped (mag, ori) window per candidate
+    (crop_patches), shared with the descriptor stage — the per-keypoint
+    image gather is the frontend's dominant cost, so orientation reads its
+    16x16 integer window out of the same patch via exact tent selection
+    instead of a second gather. Returns (_OctaveKps, spawn candidate
+    indices [K] for re-indexing the shared patches)."""
     k = lvl.shape[0]        # keep the octave's (possibly decayed) capacity
     win = cfg.orientation_window
     yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
 
-    glvl = lvl - ss.grad_level_offset
-    # one channelized gather for (mag, ori); the stack is CSE-shared with
-    # describe_octave's identical stack inside the same jitted program
-    mag_ori = jnp.stack([ss.grad_mag[octave], ss.grad_ori[octave]], axis=-1)
-    both = extract_patches(mag_ori, yx_int, win, level_idx=glvl)  # [K,S,S,2]
-    mag = both[..., 0]
-    ori = both[..., 1]
-
     # sigma of the (refined) level in octave-pixel units
     lvl_f = lvl.astype(jnp.float32) + offset[:, 0]
     sigma_oct = pyr_cfg.base_sigma * pyr_cfg.k_factor ** lvl_f
-    w = gaussian_window(win, cfg.orientation_sigma_scale * sigma_oct)  # [K,S,S]
 
-    hist = soft_histogram(ori.reshape(-1, win * win),
-                          (mag * w).reshape(-1, win * win),
-                          cfg.num_orientation_bins, 360.0,
-                          interpolate=True,
-                          compute_dtype=cfg.hist_compute_dtype)  # [K, 36]
+    if _use_pallas_patches(cfg):
+        from visualslam_tpu.ops.pallas.descriptor import pallas_orient_hist
+
+        hist = pallas_orient_hist(
+            patches, py0, px0, yx_int,
+            cfg.orientation_sigma_scale * sigma_oct,
+            cfg.num_orientation_bins)                        # [K, 36]
+    else:
+        # integer 16x16 grid about the candidate (same offsets as an
+        # extract_patches window): tent weights reduce to exact one-hot
+        # rows, so this is a lossless window view of the shared patch
+        offs = jnp.arange(win, dtype=jnp.float32) - win // 2
+        gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+        grid = jnp.stack([gy, gx], axis=-1)[None]            # [1,S,S,2]
+        both = tent_sample_patches(
+            patches, py0, px0, yx_int[:, None, None, :] + grid)  # [K,S,S,2]
+        mag = both[..., 0]
+        ori = both[..., 1]
+        w = gaussian_window(win,
+                            cfg.orientation_sigma_scale * sigma_oct)
+        hist = soft_histogram(ori.reshape(-1, win * win),
+                              (mag * w).reshape(-1, win * win),
+                              cfg.num_orientation_bins, 360.0,
+                              interpolate=True,
+                              compute_dtype=cfg.hist_compute_dtype)
     angles, _, peak_valid = histogram_peaks(
         hist, cfg.max_orientations, cfg.orientation_peak_ratio, 360.0)
 
@@ -101,7 +128,7 @@ def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
     # get dropped nondeterministically.
     tiebreak = jnp.arange(resp_sp.shape[0], dtype=jnp.float32) * 1e-12
     idx, mask = top_k_select(resp_sp - tiebreak, valid_sp, k)
-    return _OctaveKps(
+    kps = _OctaveKps(
         yx_oct=yx_sp[idx] * mask[:, None],
         level=jnp.where(mask, lvl_sp[idx], 1),
         scale_off=jnp.where(mask, ds_sp[idx], 0.0),
@@ -109,51 +136,56 @@ def _orientation_pass(ss: ScaleSpace, octave: int, lvl, y, x, offset,
         response=jnp.where(mask, resp_sp[idx], 0.0),
         valid=mask,
     )
+    return kps, idx // P       # spawned row -> originating candidate
 
 
-def describe_octave(ss: ScaleSpace, octave: int, kps: _OctaveKps,
+def describe_octave(patches, py0, px0, cand_idx, kps: _OctaveKps,
                     cfg: SiftConfig) -> jnp.ndarray:
     """128-D descriptors for one octave's keypoints: rotation-normalized
     16x16 window -> 4x4 subregions x 8 orientation bins (ref SIFT
-    :561-693), via one fused rotated-grid gather + one-hot accumulation."""
+    :561-693). Samples the SAME pre-cropped (mag, ori) patches as the
+    orientation pass (re-indexed to the spawned keypoints via cand_idx) —
+    the rotated-grid interpolation happens inside the patch with MXU
+    tent matmuls; patch=28 covers the rotated radius win/2*sqrt(2)+0.5."""
     win = cfg.descriptor_window
     width = cfg.descriptor_width
     nbins = cfg.descriptor_bins
     D = width * width * nbins
     K = kps.valid.shape[0]
 
-    coords = rotated_grid(kps.yx_oct, kps.orientation, win, step=1.0)
-    # one fused sample for both channels: stack (mag, ori) on a trailing
-    # axis. Patch-based sampling (contiguous crop + MXU tent-matmul
-    # interpolation) is ~3x faster on TPU than the scattered 4-corner
-    # gather; patch=28 covers the rotated grid radius win/2*sqrt(2)+0.5.
-    mag_ori = jnp.stack([ss.grad_mag[octave], ss.grad_ori[octave]], axis=-1)
-    glvl = kps.level - ss.grad_level_offset
-    both = sample_bilinear_patches(mag_ori, glvl, kps.yx_oct, coords,
-                                   patch=28)                     # [K,S,S,2]
-    mag = both[..., 0]
-    ori = both[..., 1]
-    ori_rel = jnp.mod(ori - kps.orientation[:, None, None], 360.0)
+    if _use_pallas_patches(cfg):
+        from visualslam_tpu.ops.pallas.descriptor import pallas_descriptor
 
-    # Static spatial structure: Gaussian weight (sigma = half window, SIFT
-    # paper; the reference instead blurs the magnitude ROI — documented
-    # delta). The region assignment is a static reshape: the 16x16 grid
-    # splits into width x width cells of cell x cell samples, so the
-    # histogram is built per-region with an 8-wide one-hot (16x less
-    # HBM traffic than a 128-wide one-hot over the full index).
-    cell = win // width
-    w_spatial = gaussian_window(win, win / 2.0)                  # [S, S]
+        desc = pallas_descriptor(patches[cand_idx], py0[cand_idx],
+                                 px0[cand_idx], kps.yx_oct,
+                                 kps.orientation, width, nbins)
+    else:
+        coords = rotated_grid(kps.yx_oct, kps.orientation, win, step=1.0)
+        both = tent_sample_patches(patches[cand_idx], py0[cand_idx],
+                                   px0[cand_idx], coords)        # [K,S,S,2]
+        mag = both[..., 0]
+        ori = both[..., 1]
+        ori_rel = jnp.mod(ori - kps.orientation[:, None, None], 360.0)
 
-    def to_regions(a):   # [K, S, S] -> [K, regions, cell*cell]
-        a = a.reshape(K, width, cell, width, cell)
-        return a.transpose(0, 1, 3, 2, 4).reshape(K, width * width,
-                                                  cell * cell)
+        # Static spatial structure: Gaussian weight (sigma = half window,
+        # SIFT paper; the reference instead blurs the magnitude ROI —
+        # documented delta). The region assignment is a static reshape:
+        # the 16x16 grid splits into width x width cells of cell x cell
+        # samples, so the histogram is built per-region with an 8-wide
+        # one-hot (16x less HBM traffic than a 128-wide one-hot).
+        cell = win // width
+        w_spatial = gaussian_window(win, win / 2.0)              # [S, S]
 
-    wmag = to_regions(mag * w_spatial[None])
-    hist = soft_histogram(to_regions(ori_rel), wmag, nbins, 360.0,
-                          interpolate=True,
-                          compute_dtype=cfg.hist_compute_dtype)  # [K, R, 8]
-    desc = hist.reshape(K, D)
+        def to_regions(a):   # [K, S, S] -> [K, regions, cell*cell]
+            a = a.reshape(K, width, cell, width, cell)
+            return a.transpose(0, 1, 3, 2, 4).reshape(
+                K, width * width, cell * cell)
+
+        wmag = to_regions(mag * w_spatial[None])
+        hist = soft_histogram(to_regions(ori_rel), wmag, nbins, 360.0,
+                              interpolate=True,
+                              compute_dtype=cfg.hist_compute_dtype)
+        desc = hist.reshape(K, D)
 
     if cfg.descriptor_norm == "max":
         # reference behavior (quirk f): normalize by max, clamp, renormalize
@@ -183,9 +215,17 @@ def detect_and_describe_sift(img: jnp.ndarray, pyr_cfg: PyramidConfig,
     for o in range(pyr_cfg.num_octaves):
         lvl, y, x, offset, resp, valid = detect_extrema(
             ss.dog[o], cfg, capacity=cfg.octave_capacity(o))
-        kps = _orientation_pass(ss, o, lvl, y, x, offset, resp, valid,
-                                pyr_cfg, cfg)
-        desc = describe_octave(ss, o, kps, cfg)
+        # ONE (mag, ori) patch crop per candidate, shared by the
+        # orientation and descriptor stages (the dominant frontend cost is
+        # this per-keypoint gather; round-3 slope numbers put orientation
+        # + describe at ~10 of ~13 ms/frame, both gather-bound)
+        mag_ori = jnp.stack([ss.grad_mag[o], ss.grad_ori[o]], axis=-1)
+        glvl = lvl - ss.grad_level_offset
+        yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
+        patches, py0, px0 = crop_patches(mag_ori, glvl, yx_int, 28)
+        kps, cand_idx = _orientation_pass(patches, py0, px0, lvl, y, x,
+                                          offset, resp, valid, pyr_cfg, cfg)
+        desc = describe_octave(patches, py0, px0, cand_idx, kps, cfg)
         factor = (2.0 ** o) * base_scale
         lvl_f = kps.level.astype(jnp.float32) + kps.scale_off
         sigma_base = factor * pyr_cfg.base_sigma * pyr_cfg.k_factor ** lvl_f

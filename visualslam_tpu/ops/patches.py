@@ -106,45 +106,79 @@ def sample_bilinear_stack(stack: jnp.ndarray, level_idx: jnp.ndarray,
             + wy * (1 - wx) * v10 + wy * wx * v11)
 
 
-def sample_bilinear_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
-                            center_yx: jnp.ndarray, coords: jnp.ndarray,
-                            patch: int) -> jnp.ndarray:
-    """Bilinear sample like sample_bilinear_stack, but TPU-fast: crop one
-    contiguous [patch, patch] window per keypoint (dynamic_slice — a block
-    transfer, not a scattered gather), then interpolate INSIDE the patch
-    with two tent-weight matmuls on the MXU. ~3x faster than the scattered
-    4-corner gather at SIFT shapes (512 kps x 256 samples, 376x1248 level).
+_SEG = 64       # row-segment width of the crop gather (see crop_patches)
 
-    stack: [L, H, W] or [L, H, W, C]; level_idx: [K]; center_yx: [K, 2]
-    patch centers; coords: [K, ..., 2] absolute (y, x) sample positions —
-    every sample must fall within patch/2 - 1 px of its center (true for
-    rotated descriptor grids: radius win/2*sqrt(2) + 0.5 < patch/2 - 1).
-    Exact bilinear in the interior; windows clamp at image borders (same
-    policy as extract_patches).
-    """
+
+def crop_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
+                 center_yx: jnp.ndarray, patch: int):
+    """Crop one patch per keypoint from a level stack, TPU-fast. Returns
+    (patches [K, C, Ph, Pw], y0 [K], x0 [K]) — CHANNEL-FIRST — with the
+    window origins, so callers can sample inside the patch
+    (tent_sample_patches).
+
+    Two TPU constraints shape this implementation:
+    - gather GRANULARITY: per-element gathers (flat [K, S, S] indexing)
+      move ~8-byte rows and measured ~19 ms/frame at SIFT shapes; here
+      each gather row is an aligned 64-pixel segment (256 B contiguous)
+      and a window takes 2 consecutive segments per row
+    - minor-dim LAYOUT: Pw = 2*64 = 128 is exactly the vector-lane width,
+      so the gather output [K, C, Ph, 128] tiles without padding (a
+      trailing channel dim of 2 would pad 64x and OOM at batch shapes)
+
+    The window is guaranteed inside [x0, x0+128) for any patch <= 65; the
+    x-overhang beyond W reads edge-replicated padding. Levels narrower
+    than two segments fall back to full-width rows."""
     L, H, W = stack.shape[:3]
+    if stack.ndim == 4:                     # channels-last input
+        C = stack.shape[-1]
+        stack = jnp.moveaxis(stack, -1, 0).reshape(C * L, H, W)
+    else:
+        C = 1
     K = center_yx.shape[0]
-    channels = stack.ndim == 4
-    if not channels:
-        stack = stack[..., None]
-    C = stack.shape[-1]
-    # A level smaller than the patch (tiny top octaves) can't host a full
-    # window: shrink the crop to the level per-axis (static shapes) — the
-    # coord clamp below then edge-clamps out-of-window samples, the same
-    # border policy as extract_patches/sample_bilinear.
     ph = min(patch, H)
-    pw = min(patch, W)
-    ry = ph // 2
-    rx = pw // 2
-    y0 = jnp.clip(jnp.round(center_yx[:, 0]).astype(jnp.int32) - ry, 0, H - ph)
-    x0 = jnp.clip(jnp.round(center_yx[:, 1]).astype(jnp.int32) - rx, 0, W - pw)
+    y0 = jnp.clip(jnp.round(center_yx[:, 0]).astype(jnp.int32) - ph // 2,
+                  0, H - ph)
+    dy = jnp.arange(ph, dtype=jnp.int32)
+    # per-channel level rows: channel c of level l lives at row c*L + l
+    lvl_c = (jnp.arange(C, dtype=jnp.int32)[None, :] * L
+             + level_idx[:, None])                              # [K, C]
 
-    def crop(lvl, y, x):
-        return jax.lax.dynamic_slice(stack, (lvl, y, x, 0),
-                                     (1, ph, pw, C))[0]
+    if W < 2 * _SEG:
+        # tiny level: gather full-width rows
+        flat = stack.reshape(C * L * H, W)
+        idx = ((lvl_c[:, :, None] * H + y0[:, None, None])
+               + dy[None, None, :])                             # [K, C, Ph]
+        patches = jnp.take(flat, idx, axis=0)                   # [K,C,Ph,W]
+        return patches, y0, jnp.zeros_like(y0)
 
-    patches = jax.vmap(crop)(level_idx, y0, x0)          # [K, Ph, Pw, C]
+    assert patch <= _SEG + 1, (
+        f"patch {patch} can escape the two-segment window (max {_SEG + 1})")
+    nseg = -(-W // _SEG)
+    Wp = nseg * _SEG
+    if Wp != W:
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, Wp - W)), mode="edge")
+    x0d = jnp.clip(jnp.round(center_yx[:, 1]).astype(jnp.int32)
+                   - patch // 2, 0, W - min(patch, W))
+    seg = jnp.minimum(x0d // _SEG, nseg - 2)
+    x0 = seg * _SEG
+    flat = stack.reshape(C * L * H * nseg, _SEG)
+    base = (lvl_c * H + y0[:, None]) * nseg + seg[:, None]      # [K, C]
+    idx = (base[:, :, None, None] + dy[None, None, :, None] * nseg
+           + jnp.arange(2, dtype=jnp.int32))                    # [K,C,Ph,2]
+    rows = jnp.take(flat, idx, axis=0)                          # [K,C,Ph,2,S]
+    patches = rows.reshape(K, C, ph, 2 * _SEG)
+    return patches, y0, x0
 
+
+def tent_sample_patches(patches: jnp.ndarray, y0: jnp.ndarray,
+                        x0: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample INSIDE pre-cropped patches with two tent-weight
+    matmuls on the MXU (each tent row holds exactly the two bilinear
+    weights of a sample; integer coords reduce to exact one-hot selection).
+    patches: [K, C, Ph, Pw] channel-first (crop_patches layout) with
+    origins (y0, x0); coords: [K, ..., 2] absolute (y, x). Samples outside
+    the patch edge-clamp."""
+    K, C, ph, pw = patches.shape
     shape = coords.shape[1:-1]
     py = jnp.clip(coords[..., 0].reshape(K, -1)
                   - y0[:, None].astype(coords.dtype), 0.0, ph - 1.0)
@@ -152,16 +186,47 @@ def sample_bilinear_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
                   - x0[:, None].astype(coords.dtype), 0.0, pw - 1.0)
     taps_y = jnp.arange(ph, dtype=coords.dtype)
     taps_x = jnp.arange(pw, dtype=coords.dtype)
-    # tent rows have exactly the two bilinear weights per sample
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - taps_y))  # [K, N, Ph]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - taps_x))
     # HIGHEST precision: bf16 MXU passes would quantize the interpolation
     # weights (~1e-2 error); exact bilinear needs full f32 accumulation
-    t = jnp.einsum("kni,kijc->knjc", wy, patches,
+    t = jnp.einsum("kni,kcij->kcnj", wy, patches,
                    precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("knjc,knj->knc", t, wx,
+    out = jnp.einsum("kcnj,knj->knc", t, wx,
                      precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape((K,) + shape + (C,))
+    return out.reshape((K,) + shape + (C,))
+
+
+def sample_bilinear_patches(stack: jnp.ndarray, level_idx: jnp.ndarray,
+                            center_yx: jnp.ndarray, coords: jnp.ndarray,
+                            patch: int) -> jnp.ndarray:
+    """Bilinear sample like sample_bilinear_stack, but TPU-fast: crop one
+    contiguous [patch, patch] window per keypoint, then interpolate INSIDE
+    the patch with two tent-weight matmuls on the MXU (crop_patches +
+    tent_sample_patches). ~3x faster than the scattered 4-corner gather at
+    SIFT shapes (512 kps x 256 samples, 376x1248 level).
+
+    coords: [K, ..., 2] absolute (y, x) sample positions — every sample
+    must fall within patch/2 - 1 px of its center (true for rotated
+    descriptor grids: radius win/2*sqrt(2) + 0.5 < patch/2 - 1)."""
+    channels = stack.ndim == 4
+    patches, y0, x0 = crop_patches(stack, level_idx, center_yx, patch)
+    out = tent_sample_patches(patches, y0, x0, coords)
+    return out if channels else out[..., 0]
+
+
+def crop_windows(stack: jnp.ndarray, level_idx: jnp.ndarray,
+                 center_yx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """extract_patches semantics (integer [K, size, size(,C)] windows) via
+    the segment-gather crop + exact tent selection — the fast path for
+    windows whose size exceeds extract_patches' efficient range."""
+    channels = stack.ndim == 4
+    patches, y0, x0 = crop_patches(stack, level_idx, center_yx, size)
+    offs = jnp.arange(size, dtype=jnp.float32) - size // 2
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+    grid = jnp.stack([gy, gx], axis=-1)[None]
+    ctr = jnp.round(center_yx).astype(jnp.float32)
+    out = tent_sample_patches(patches, y0, x0, ctr[:, None, None, :] + grid)
     return out if channels else out[..., 0]
 
 

@@ -137,6 +137,18 @@ class SiftConfig(_Base):
     dense_extrema: bool = True          # dense 26-neighbor scan (ref quirk c uses stride 3)
     extrema_impl: str = "xla"           # "xla" | "pallas" (fused 26-neighbor
     #                                     scan kernel, ops/pallas/extrema.py)
+    patch_impl: str = "auto"            # "auto" (DEFAULT: the fused Pallas
+    #                                     kernels on TPU, the XLA path on
+    #                                     CPU where Pallas only has the
+    #                                     slow interpreter) | "pallas"
+    #                                     (force kernels, interpreted on
+    #                                     CPU) | "xla". The kernels
+    #                                     (ops/pallas/descriptor.py) fuse
+    #                                     sample+weight+histogram per
+    #                                     keypoint block — no [K,C,256,128]
+    #                                     HBM intermediate; measured 1.51x
+    #                                     the XLA stage pair on TPU v5e
+    #                                     (benchmarks/patch_kernel.json)
     hist_compute: str = "f32"           # "f32" (exact) | "bf16": histogram
     #                                     triangle-kernel einsum input dtype
     #                                     (~1e-2 relative error, half the
