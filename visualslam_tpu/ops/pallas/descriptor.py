@@ -182,9 +182,13 @@ def pallas_orient_hist(patches, y0, x0, yx, sigma, nbins: int = 36):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TK, 128), lambda i: (i, 0)),        # params
-            pl.BlockSpec((TK, 1, patches.shape[2], 128),
+            # block width = the ACTUAL patch width: narrow top octaves
+            # fall back to full-row patches (e.g. 94 < 128); a hardcoded
+            # 128 block over-reads into uninitialized VMEM whose garbage
+            # NaNs survive 0-weight tent lanes (0 * NaN = NaN)
+            pl.BlockSpec((TK, 1, patches.shape[2], patches.shape[3]),
                          lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((TK, 1, patches.shape[2], 128),
+            pl.BlockSpec((TK, 1, patches.shape[2], patches.shape[3]),
                          lambda i: (i, 1, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TK, 128), lambda i: (i, 0)),
@@ -211,9 +215,13 @@ def pallas_descriptor(patches, y0, x0, yx, angle,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TK, 128), lambda i: (i, 0)),        # params
-            pl.BlockSpec((TK, 1, patches.shape[2], 128),
+            # block width = the ACTUAL patch width: narrow top octaves
+            # fall back to full-row patches (e.g. 94 < 128); a hardcoded
+            # 128 block over-reads into uninitialized VMEM whose garbage
+            # NaNs survive 0-weight tent lanes (0 * NaN = NaN)
+            pl.BlockSpec((TK, 1, patches.shape[2], patches.shape[3]),
                          lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((TK, 1, patches.shape[2], 128),
+            pl.BlockSpec((TK, 1, patches.shape[2], patches.shape[3]),
                          lambda i: (i, 1, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TK, 128), lambda i: (i, 0)),

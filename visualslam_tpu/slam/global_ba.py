@@ -141,11 +141,17 @@ def run_global_ba(slam_map, cfg: BAConfig, corrected: Optional[dict] = None,
     p, frame_ids = build_global_problem(slam_map, corrected,
                                         pad_cameras_to=n_shards)
     K = len(frame_ids)
+    # an explicitly chosen iterative solver is respected; only the dense
+    # default auto-switches once the reduced system outgrows direct
+    # factorization (matrix-free Schur CG — the [C,6,C,6] system never
+    # materializes, benchmarks/ba_scale.json)
+    solver = cfg.solver
+    if p.R.shape[0] > 64 and solver == "schur_dense":
+        solver = "schur_mf"
     run_cfg = cfg.replace(max_cameras=int(p.R.shape[0]),
                           max_landmarks=int(p.X.shape[0]),
                           max_observations=int(p.uv.shape[0]),
-                          solver="schur_cg" if p.R.shape[0] > 64
-                          else cfg.solver)
+                          solver=solver)
     if mesh is None:
         res = run_ba_jit(p, run_cfg)
         R = np.asarray(res.R[:K])

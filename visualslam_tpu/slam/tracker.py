@@ -360,7 +360,13 @@ class Tracker:
         sustained tracking loss forced a mid-batch recovery."""
         from visualslam_tpu.slam.engine import decode_packed, decode_loop_row
 
-        self._flush_pending_ba(wait=False)
+        # wait=True: a whole batch of frontend+track compute has overlapped
+        # the async BA since its dispatch, so this almost never blocks on
+        # TPU — but wait=False would silently skip the writeback whenever
+        # the solver lagged (measured on CPU: the window then rides
+        # unrefined landmarks for several batches and turning-trajectory
+        # ATE doubles)
+        self._flush_pending_ba(wait=True)
         if not self._eng_ready:
             self._engine_enter()
         dyn = self._engine_dyn(i0, first_fid)
@@ -423,10 +429,14 @@ class Tracker:
         self._eng_db_n += n_applied
 
         # batch-boundary backend work: ONE (async) window BA dispatch, and
-        # the pose graph only when a verified loop edge came back
+        # the pose graph only when a verified loop edge came back. The
+        # LM-iteration budget scales with the promotions folded into this
+        # batch so the total refinement matches the host path's
+        # one-BA-per-keyframe cadence (one batch-level solve at base
+        # iterations measurably under-refines turning trajectories).
         if recs and self.run_ba:
             with self._stage("window_ba"):
-                self._run_window_ba()
+                self._run_window_ba(iters_scale=min(n_applied, 3))
         if loop_hits:
             with self._stage("loop_optimize"):
                 self._engine_apply_loops()
@@ -941,7 +951,7 @@ class Tracker:
     last_ba_cost: float = -1.0
     _pending_ba = None      # (slots, frame_ids, lm_slots, lm_uids, nC, nL, res)
 
-    def _run_window_ba(self) -> None:
+    def _run_window_ba(self, iters_scale: int = 1) -> None:
         # lazy flush: if the previous async BA hasn't finished, let it ride
         # — its writeback lands at the NEXT keyframe (the map lags one more
         # window; PnP re-anchors against the map every frame so the
@@ -950,6 +960,8 @@ class Tracker:
         if self._pending_ba is not None:
             return      # previous window still optimizing; skip this one
         cfg = self.cfg.ba
+        if iters_scale > 1:
+            cfg = cfg.replace(iters=cfg.iters * iters_scale)
         (slots, R, t, lm_slots, X, cam_idx, lm_idx, uv,
          valid) = self.map.build_ba_arrays(cfg.max_observations)
         if len(lm_slots) < 8 or valid.sum() < 24:
