@@ -1,6 +1,20 @@
-"""A/B benchmark: XLA vs Pallas 26-neighbor extrema scan (reference hot
-loop #1, Diff_of_Gauss.cpp:264-293), plus its effect inside the full SIFT
-frontend. Writes benchmarks/extrema_kernel.json.
+"""A/B benchmark: XLA vs Pallas extrema detection (reference hot loop #1,
+Diff_of_Gauss.cpp:264-293) measured at the deployment level: per-frame
+device time of the FULL SIFT frontend under each `extrema_impl`, by the
+batch-slope method (vmapped frontend at two batch sizes; the slope cancels
+the relay round-trip floor, which is ~25 ms on this link — larger than the
+entire signal of an isolated-op A/B, which is why earlier isolated numbers
+were unstable). Distinct input buffers everywhere: the relay memoizes
+identical executions.
+
+Arms:
+  xla    — 26 shifted comparisons + masked |dog| + block_top_k_select
+  pallas — fused scoring kernel, separate top-k over the full score map
+           (the round-2/3 kernel: 3x halo traffic, the losing arm)
+  fused  — scan + in-VMEM candidate reduce (pallas_extrema_candidates):
+           the score map never exists in HBM, top-k input is TH x smaller
+
+Writes benchmarks/extrema_kernel.json.
 
 Usage: python -m benchmarks.extrema_kernel   (runs on the default device)
 """
@@ -14,21 +28,8 @@ import time
 
 import numpy as np
 
-
-def timeit(f, args_list, warmup=2, iters=10):
-    for i in range(warmup):
-        jax_block(f(*args_list[i % len(args_list)]))
-    ts = []
-    for i in range(iters):
-        a = args_list[(i + warmup) % len(args_list)]
-        t0 = time.perf_counter()
-        jax_block(f(*a))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def jax_block(x):
-    return float(np.asarray(x))
+B1, B2 = 4, 16
+REPS = 8
 
 
 def main():
@@ -36,50 +37,46 @@ def main():
     import jax.numpy as jnp
 
     from visualslam_tpu.frontend import detect_and_describe
-    from visualslam_tpu.ops.extrema import extrema_mask
-    from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
     from visualslam_tpu.utils.config import FAST_CONFIG
 
-    thr = FAST_CONFIG.sift.contrast_threshold
     rng = np.random.default_rng(0)
-    out = {"device": str(jax.devices()[0])}
+    out = {"device": str(jax.devices()[0]),
+           "method": f"batch-slope (B={B1} vs B={B2}), median of {REPS}, "
+                     "full frontend, distinct buffers",
+           "image": "376x1248", "profile": "fast"}
 
-    # --- isolated op: octave-0 DoG stack at KITTI size ---
-    # 12 distinct inputs: the relay memoizes executions on identical input
-    # buffers, so every timed call must see a fresh buffer
-    D, H, W = 5, 376, 1248
-    dogs = [jnp.asarray(rng.standard_normal((D, H, W)).astype(np.float32)
-                        * 0.1) for _ in range(12)]
+    H, W = 376, 1248
+    bufs = {b: [jnp.asarray(rng.random((b, H, W), dtype=np.float32))
+                for _ in range(6)] for b in (B1, B2)}
 
-    xla = jax.jit(lambda d: jnp.sum(jnp.where(
-        extrema_mask(d) & (jnp.abs(d) > 0.5 * thr), jnp.abs(d), 0.0)))
-    pls = jax.jit(lambda d: jnp.sum(jnp.where(
-        (s := pallas_extrema_score(d, thr)) > -1e29, s, 0.0)))
-
-    t_xla = timeit(xla, [(d,) for d in dogs])
-    t_pls = timeit(pls, [(d,) for d in dogs])
-    # numerical parity
-    assert abs(float(xla(dogs[0])) - float(pls(dogs[0]))) < 1e-2
-
-    out["op_xla_ms"] = round(t_xla * 1e3, 3)
-    out["op_pallas_ms"] = round(t_pls * 1e3, 3)
-    out["op_speedup"] = round(t_xla / t_pls, 3)
-    # traffic-bound roofline: one read + one write of the [D, H, W] stack
-    bytes_min = 2 * D * H * W * 4
-    out["op_roofline_note"] = (
-        f"lower bound ~{bytes_min / 1e6:.1f} MB HBM traffic; at ~800 GB/s "
-        f"that is ~{bytes_min / 800e9 * 1e3:.3f} ms")
-
-    # --- end-to-end frontend effect ---
-    imgs = [jnp.asarray(rng.random((H, W), dtype=np.float32))
-            for _ in range(4)]
-    for impl in ("xla", "pallas"):
+    per_frame = {}
+    for impl in ("xla", "pallas", "fused"):
         cfg = FAST_CONFIG.replace(
             sift=FAST_CONFIG.sift.replace(extrema_impl=impl))
-        f = jax.jit(lambda im, cfg=cfg: jnp.sum(
-            detect_and_describe(im, cfg).descriptors))
-        out[f"frontend_{impl}_ms"] = round(
-            timeit(f, [(i,) for i in imgs]) * 1e3, 3)
+        f = jax.jit(jax.vmap(
+            lambda im, cfg=cfg: jnp.sum(
+                detect_and_describe(im, cfg).descriptors)))
+        med = {}
+        for b in (B1, B2):
+            for i in range(2):
+                np.asarray(f(bufs[b][i]))
+            ts = []
+            for i in range(REPS):
+                t0 = time.perf_counter()
+                np.asarray(f(bufs[b][(i + 2) % 6]))
+                ts.append(time.perf_counter() - t0)
+            med[b] = float(np.median(ts))
+        per_frame[impl] = (med[B2] - med[B1]) / (B2 - B1)
+        out[f"frontend_{impl}_ms_per_frame"] = round(per_frame[impl] * 1e3, 3)
+        out[f"frontend_{impl}_wall_ms"] = {str(b): round(med[b] * 1e3, 2)
+                                           for b in med}
+
+    out["fused_speedup_vs_xla_frontend"] = round(
+        per_frame["xla"] / per_frame["fused"], 3)
+    out["detect_stage_note"] = (
+        "the detect stage is ~1.9 of ~8.5 ms/frame; whole-frontend slope is "
+        "the deployment-honest denominator (isolated-op timings at this "
+        "scale are unresolvable through the relay's ~25 ms floor)")
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "extrema_kernel.json")

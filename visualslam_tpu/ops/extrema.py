@@ -149,25 +149,44 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig,
     """
     D, H, W = dog.shape
     k = capacity if capacity is not None else cfg.max_keypoints_per_octave
-    if cfg.extrema_impl == "pallas":
-        # fused single-pass kernel: mask+score+pre-filter never hit HBM
-        from visualslam_tpu.ops.pallas.extrema import pallas_extrema_score
+    impl = cfg.extrema_impl
+    if impl == "auto":
+        # fused scan+select kernel wherever a real Pallas backend exists;
+        # the XLA formulation on CPU (the Pallas interpreter is a
+        # correctness tool, ~10x slower than XLA there)
+        impl = "fused" if jax.default_backend() != "cpu" else "xla"
+    if impl == "fused":
+        # single-pass kernel: score AND per-region candidate reduce happen
+        # in VMEM — the full score map never exists in HBM
+        from visualslam_tpu.ops.pallas.extrema import (
+            pallas_extrema_candidates,
+        )
 
-        score = pallas_extrema_score(dog, cfg.contrast_threshold)
-        mask = score > -1e29
+        lvl, y, x, _, sel = pallas_extrema_candidates(
+            dog, cfg.contrast_threshold, k)
     else:
-        mask = extrema_mask(dog)
-        score = jnp.abs(dog)
-        # Cheap pre-filter: half the final contrast threshold before
-        # refinement (standard SIFT practice; the reference filters only
-        # after interpolation).
-        mask &= score > 0.5 * cfg.contrast_threshold
+        if impl == "pallas":
+            # fused scoring kernel, separate top-k (the losing A/B arm —
+            # kept for comparison; see ops/pallas/extrema.py)
+            from visualslam_tpu.ops.pallas.extrema import (
+                pallas_extrema_score,
+            )
 
-    idx, sel = block_top_k_select(score.reshape(-1), mask.reshape(-1), k)
-    lvl = (idx // (H * W)).astype(jnp.int32)
-    rem = idx % (H * W)
-    y = (rem // W).astype(jnp.int32)
-    x = (rem % W).astype(jnp.int32)
+            score = pallas_extrema_score(dog, cfg.contrast_threshold)
+            mask = score > -1e29
+        else:
+            mask = extrema_mask(dog)
+            score = jnp.abs(dog)
+            # Cheap pre-filter: half the final contrast threshold before
+            # refinement (standard SIFT practice; the reference filters
+            # only after interpolation).
+            mask &= score > 0.5 * cfg.contrast_threshold
+
+        idx, sel = block_top_k_select(score.reshape(-1), mask.reshape(-1), k)
+        lvl = (idx // (H * W)).astype(jnp.int32)
+        rem = idx % (H * W)
+        y = (rem // W).astype(jnp.int32)
+        x = (rem % W).astype(jnp.int32)
     # masked-out slots: point them at a safe interior location
     lvl = jnp.where(sel, lvl, 1)
     y = jnp.where(sel, y, 1)

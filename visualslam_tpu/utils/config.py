@@ -135,8 +135,13 @@ class SiftConfig(_Base):
     localization_offset_max: float = 0.5  # reject if |z-hat| component beyond this * steps
     localize_iters: int = 1             # quadratic-fit refinement iterations
     dense_extrema: bool = True          # dense 26-neighbor scan (ref quirk c uses stride 3)
-    extrema_impl: str = "xla"           # "xla" | "pallas" (fused 26-neighbor
-    #                                     scan kernel, ops/pallas/extrema.py)
+    extrema_impl: str = "auto"          # "auto" (DEFAULT: the fused
+    #                                     scan+candidate-select kernel on
+    #                                     TPU, XLA on CPU) | "fused"
+    #                                     (force that kernel) | "pallas"
+    #                                     (score-only kernel + separate
+    #                                     top-k; the losing A/B arm) |
+    #                                     "xla" (ops/pallas/extrema.py)
     patch_impl: str = "auto"            # "auto" (DEFAULT: the fused Pallas
     #                                     kernels on TPU, the XLA path on
     #                                     CPU where Pallas only has the
