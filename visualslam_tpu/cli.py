@@ -301,6 +301,11 @@ def cmd_accuracy(args) -> None:
         # headline and an ATE finally measured on the same run
         ("bench-96", "fast", dict(num_frames=96, h=376, w=1248,
                                   n_dots=8000, step=0.4), False, 16),
+        # same world under the reference profile: the fast-vs-reference
+        # ATE comparison AT the bench resolution (VERDICT r3 item 5 asks
+        # the fast profile to be within ~1.5x of this row)
+        ("bench-96", "reference", dict(num_frames=96, h=376, w=1248,
+                                       n_dots=8000, step=0.4), False, 16),
         # return-to-start path over the reference's own photograph
         # (VERDICT r3 item 6; tests/test_photo_loop.py is the gating test)
         ("photo-loop-100", "fast", "photo", False, 8),

@@ -366,10 +366,12 @@ class Tracker:
         # the solver lagged (measured on CPU: the window then rides
         # unrefined landmarks for several batches and turning-trajectory
         # ATE doubles)
-        self._flush_pending_ba(wait=True)
+        with self._stage("ba_flush"):
+            self._flush_pending_ba(wait=True)
         if not self._eng_ready:
             self._engine_enter()
-        dyn = self._engine_dyn(i0, first_fid)
+        with self._stage("engine_dyn"):
+            dyn = self._engine_dyn(i0, first_fid)
         with self._stage("engine_dispatch"):
             packed_dev, persist = self._eng_progs["batch"](
                 self._eng_persist, dyn, feats_b, self.intr)
@@ -378,8 +380,9 @@ class Tracker:
             packed = np.asarray(packed_dev)
         M = self.cfg.match.max_matches
         P = max(1, -(-B // max(1, self.cfg.keyframe_min_gap)))
-        stats, recs, _ = decode_packed(packed, B, M, P)
-        rec_by_frame = {r.frame: r for r in recs}
+        with self._stage("decode"):
+            stats, recs, _ = decode_packed(packed, B, M, P)
+            rec_by_frame = {r.frame: r for r in recs}
 
         results: list[FrameResult] = []
         loop_hits = []
@@ -1010,6 +1013,13 @@ class Tracker:
                                   Xn[:nL])
             return
         res = run_ba_packed_jit(p, cfg)     # async dispatch either way
+        try:
+            # start the D2H copy as soon as the solve completes on device:
+            # the flush's np.asarray otherwise pays a full request round
+            # trip (~25 ms through the relay) AFTER blocking on the solve
+            res.copy_to_host_async()
+        except AttributeError:
+            pass
         if cfg.async_ba:
             # stage overlap (PP analogue): BA computes on-device while the
             # next frames track; results land at the next keyframe (or any

@@ -323,7 +323,13 @@ DEFAULT_CONFIG = SlamConfig()
 # Reference-parity behavior stays on DEFAULT_CONFIG.
 FAST_CONFIG = SlamConfig(
     pyramid=PyramidConfig(initial_upsample=False, num_octaves=3),
-    ba=BAConfig(max_landmarks=4096, max_observations=8192, async_ba=True),
+    # window capacities sized to measured content (engine local map holds
+    # <= 2048 slots; a 10-kf window carries ~1.5-4k observations): the BA's
+    # per-LM-iteration device time scales with the PADDED shapes, and the
+    # flush of this solve is serial with the next batch (stage ba_flush in
+    # benchmarks/stage_breakdown.json). Global BA is unaffected — it
+    # re-sizes capacities from the actual problem (slam/global_ba.py:151).
+    ba=BAConfig(max_landmarks=2048, max_observations=6144, async_ba=True),
     # KITTI-width frames carry ~2k useful features (ORB-SLAM uses 2000 at
     # 1241x376); capacity scales with image area or tracking starves
     sift=SiftConfig(max_keypoints=2048, max_keypoints_per_octave=1024,
