@@ -65,10 +65,14 @@ def bench_frontend(jax, jnp, cfg) -> float:
     return ITERS * BATCH / max(total - READBACK_S, 1e-9)
 
 
-def bench_sequence(jax, jnp, cfg) -> tuple[float, dict]:
-    """Full SLAM over a rendered synthetic sequence (tracking + windowed BA
-    + loop-closure machinery active). Frames are pre-rendered so only the
-    device pipeline is timed. Returns (fps, diagnostics)."""
+def bench_sequence(jax, jnp, cfg, runs: int = 1) -> tuple[float, dict]:
+    """Full SLAM over a rendered synthetic sequence (tracking + in-scan
+    windowed BA + loop-closure machinery active), driven through the lag-1
+    pipelined stream (Tracker.process_stream): each batch's engine program
+    is dispatched before the previous batch's telemetry is consumed, so
+    the packed-readback round trip hides behind a full batch of device
+    compute. Frames are pre-rendered so only the device pipeline is timed.
+    Returns (median fps over `runs`, diagnostics incl. the run list)."""
     from visualslam_tpu.io.kitti import SyntheticSequence
     from visualslam_tpu.slam.tracker import Tracker
 
@@ -81,40 +85,47 @@ def bench_sequence(jax, jnp, cfg) -> tuple[float, dict]:
     # 8-bit frames, as a production loader would ship them
     frames = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
 
-    # warmup tracker: compiles frontend, track/keyframe step, window BA
-    # and loop-closure programs (3 batches so keyframe insertion and
-    # respeculation paths all trace). The timed tracker reuses the same
-    # compiled programs (slam/tracker._shared_programs). Warmup frames come
-    # from a DIFFERENT seed so no timed input buffer ever matches a warmup
-    # buffer — the relay memoizes executions on identical inputs and reusing
-    # frames would let memoized results inflate the timed region.
+    # warmup tracker: compiles frontend, track/keyframe step, the engine
+    # batch program and loop-closure programs. The timed trackers reuse
+    # the same compiled programs (slam/tracker._shared_programs /
+    # engine_programs). Warmup frames come from a DIFFERENT seed so no
+    # timed input buffer ever matches a warmup buffer — the relay memoizes
+    # executions on identical inputs and reusing frames would let memoized
+    # results inflate the timed region.
     warm_seq = SyntheticSequence(num_frames=24, h=376, w=1248,
                                  n_dots=8000, step=0.4, seed=7)
     warm_frames = np.stack([warm_seq.frame(k) for k in range(24)])
     warm_frames = np.clip(warm_frames * 255.0, 0, 255).astype(np.uint8)
     warm = Tracker(cfg, warm_seq.info().intrinsics)
     warm.process_batch(warm_frames[:8], 0)      # bootstrap/init programs
-    warm.process_batch(warm_frames[8:24], 8)    # the timed 16-frame batch
+    warm.process_stream(warm_frames[8:24], 8)   # the timed 16-frame batch
+    warm.finish()
     del warm
 
-    tracker = Tracker(cfg, info.intrinsics)
-    tracker.process_batch(frames[:8], 0)    # bootstrap + two-view init
-    t0 = time.perf_counter()
-    B = 16     # bigger batches halve the batch-boundary sync rounds
-    #            (every round's stats readback pays a relay round trip)
-    for k in range(8, len(frames), B):
-        tracker.process_batch(frames[k:k + B], k)
-    total = time.perf_counter() - t0
-    n = len(frames) - 8
-    diag = {
-        "seq_frames": n,
-        "keyframes": int(sum(f.is_keyframe for f in tracker.frames)),
-        "landmarks": int(tracker.map.lm_valid.sum()),
-        "mean_inliers": float(np.mean(
-            [f.num_inliers for f in tracker.frames if f.num_inliers > 0]
-            or [0])),
-    }
-    return n / total, diag
+    B = 16
+    fps_runs = []
+    diag = {}
+    for _ in range(runs):
+        tracker = Tracker(cfg, info.intrinsics)
+        tracker.process_batch(frames[:8], 0)    # bootstrap + two-view init
+        t0 = time.perf_counter()
+        for k in range(8, len(frames), B):
+            tracker.process_stream(frames[k:k + B], k)
+        tracker.finish()
+        total = time.perf_counter() - t0
+        n = len(frames) - 8
+        fps_runs.append(n / total)
+        diag = {
+            "seq_frames": n,
+            "keyframes": int(sum(f.is_keyframe for f in tracker.frames)),
+            "landmarks": int(tracker.map.lm_valid.sum()),
+            "mean_inliers": float(np.mean(
+                [f.num_inliers for f in tracker.frames
+                 if f.num_inliers > 0] or [0])),
+        }
+    fps_runs.sort()
+    diag["fps_runs"] = [round(v, 2) for v in fps_runs]
+    return fps_runs[len(fps_runs) // 2], diag
 
 
 def main() -> None:
@@ -125,7 +136,7 @@ def main() -> None:
 
     cfg = FAST_CONFIG
     frontend_fps = bench_frontend(jax, jnp, cfg)
-    seq_fps, diag = bench_sequence(jax, jnp, cfg)
+    seq_fps, diag = bench_sequence(jax, jnp, cfg, runs=3)
 
     print(f"[bench] device={jax.devices()[0]} frontend={cfg.frontend} "
           f"image=376x1248 batch={BATCH} frontend_fps={frontend_fps:.2f} "

@@ -46,8 +46,11 @@ def main():
            "image": "376x1248", "profile": "fast"}
 
     H, W = 376, 1248
+    # 2 warmup + REPS timed buffers per batch size, so no buffer is ever
+    # executed twice within one impl (ADVICE r4: the memoizing relay would
+    # turn a re-executed buffer into a free round trip and skew the slope)
     bufs = {b: [jnp.asarray(rng.random((b, H, W), dtype=np.float32))
-                for _ in range(6)] for b in (B1, B2)}
+                for _ in range(2 + REPS)] for b in (B1, B2)}
 
     per_frame = {}
     for impl in ("xla", "pallas", "fused"):
@@ -63,7 +66,7 @@ def main():
             ts = []
             for i in range(REPS):
                 t0 = time.perf_counter()
-                np.asarray(f(bufs[b][(i + 2) % 6]))
+                np.asarray(f(bufs[b][2 + i]))
                 ts.append(time.perf_counter() - t0)
             med[b] = float(np.median(ts))
         per_frame[impl] = (med[B2] - med[B1]) / (B2 - B1)

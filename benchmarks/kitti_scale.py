@@ -1,16 +1,21 @@
-"""KITTI-scale end-to-end run on one chip (VERDICT r3 item 8): ~500
-KITTI-sized frames through the FULL stack in one process — batched
-frontend + device-resident tracking engine + windowed BA + loop closure,
-then full-sequence matrix-free global BA — recording throughput, accuracy
-and backend rates in ONE artifact. This is the single-chip analogue of
-BASELINE configs[4] ("full sequence"), chained end to end instead of
-benchmarked as separate pieces.
+"""KITTI-scale end-to-end run on one chip (VERDICT r3 item 8 / r4 item 2):
+~500 KITTI-sized frames through the FULL stack in one process — batched
+frontend + device-resident tracking engine (in-scan windowed BA) + loop
+closure, then full-sequence matrix-free global BA — recording throughput,
+accuracy and backend rates in ONE artifact. This is the single-chip
+analogue of BASELINE configs[4] ("full sequence"), chained end to end
+instead of benchmarked as separate pieces.
 
 The trajectory is the loop rectangle (the 500-frame path re-sees its
 starting views, so loop closure and the pose graph run for real). Frames
-are pre-rendered; only the pipeline is timed. Writes
-benchmarks/kitti_scale.json; `cli accuracy` appends the row to
-ACCURACY.md when the artifact exists.
+are pre-rendered; only the pipeline is timed, through the lag-1 pipelined
+stream (Tracker.process_stream). The global-BA rate is reported BOTH cold
+(wall incl. compilation — what one invocation actually costs) and warmed
+(the identical solve re-dispatched against the cached executable — the
+sustained rate, comparable to benchmarks/ba_scale.json). When zero loop
+closures fire, the artifact carries retrieval diagnostics (device-database
+cosine similarity for ground-truth revisit pairs) so the failure stage is
+identifiable.
 
 Usage: python -m benchmarks.kitti_scale [--frames N]
 """
@@ -26,6 +31,33 @@ import time
 import numpy as np
 
 
+def _loop_diagnostics(tracker, info, top: int = 5):
+    """For ground-truth revisit pairs (close in space, far in time), what
+    cosine similarity did the device loop database record? Distinguishes
+    'retrieval gate failing' from 'no true revisits at this length'."""
+    import jax
+
+    lc = tracker.loop_closer
+    p = tracker._eng_persist
+    if lc is None or p is None or len(lc.entries) < 4:
+        return None
+    n = min(int(tracker._eng_db_n), p.db_g.shape[0], len(lc.entries))
+    G = np.asarray(jax.device_get(p.db_g[:n]))
+    fids = np.asarray([e.frame_id for e in lc.entries[:n]])
+    centers = np.stack([-e.R.T @ e.t for e in lc.entries[:n]])
+    sims = G @ G.T
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if fids[j] - fids[i] < 100:         # temporally distant only
+                continue
+            d = float(np.linalg.norm(centers[j] - centers[i]))
+            out.append((d, float(sims[i, j]), int(fids[i]), int(fids[j])))
+    out.sort()
+    return [{"gt_dist_est_m": round(d, 2), "cosine": round(s, 3),
+             "frames": [a, b]} for d, s, a, b in out[:top]]
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=500)
@@ -36,6 +68,8 @@ def main(argv=None) -> None:
     from visualslam_tpu.io.kitti import SyntheticSequence
     from visualslam_tpu.slam.evaluation import (
         ate_rmse, centers_from_poses, rpe)
+    from visualslam_tpu.slam.global_ba import build_global_problem
+    from visualslam_tpu.backend.ba import run_ba_jit
     from visualslam_tpu.slam.tracker import Tracker
     from visualslam_tpu.utils.config import FAST_CONFIG
 
@@ -57,7 +91,8 @@ def main(argv=None) -> None:
                  0, 255).astype(np.uint8)
     warm = Tracker(cfg, warm_seq.info().intrinsics)
     warm.process_batch(wf[:8], 0)
-    warm.process_batch(wf[8:24], 8)
+    warm.process_stream(wf[8:24], 8)
+    warm.finish()
     del warm
 
     tracker = Tracker(cfg, info.intrinsics)
@@ -65,7 +100,8 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     B = 16
     for k in range(8, N, B):
-        tracker.process_batch(frames[k:k + B], k)
+        tracker.process_stream(frames[k:k + B], k)
+    tracker.finish()
     track_wall = time.perf_counter() - t0
     fps = (N - 8) / track_wall
 
@@ -73,14 +109,29 @@ def main(argv=None) -> None:
     gt = info.gt_poses[: len(est)]
     ate_track = float(ate_rmse(centers_from_poses(est),
                                centers_from_poses(gt)))
+    loop_diag = (None if tracker.num_loop_closures > 0
+                 else _loop_diagnostics(tracker, info))
 
     t0 = time.perf_counter()
     res = tracker.global_ba()
-    gba_wall = time.perf_counter() - t0
+    gba_wall_cold = time.perf_counter() - t0
     est2 = tracker.trajectory()
     ate_gba = float(ate_rmse(centers_from_poses(est2),
                              centers_from_poses(gt)))
     t_rmse, r_rmse = rpe(est2, gt)
+
+    # warmed solve rate: re-dispatch the IDENTICAL-shape solve against the
+    # cached executable (post-writeback init values; fixed iteration count
+    # so per-iteration work is unchanged)
+    p2, _ = build_global_problem(tracker.map)
+    solver = "schur_mf"
+    run_cfg = cfg.ba.replace(max_cameras=int(p2.R.shape[0]),
+                             max_landmarks=int(p2.X.shape[0]),
+                             max_observations=int(p2.uv.shape[0]),
+                             solver=solver)
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_ba_jit(p2, run_cfg).R)
+    gba_wall_warm = time.perf_counter() - t0
 
     inl = [f.num_inliers for f in tracker.frames if f.num_inliers > 0]
     ba_cfg = tracker.cfg.ba
@@ -103,13 +154,17 @@ def main(argv=None) -> None:
             "observations": int(res.n_observations),
             "initial_cost": float(res.initial_cost),
             "final_cost": float(res.cost),
-            "wall_s": round(gba_wall, 2),
-            "lm_iters_per_s": round(ba_cfg.iters / max(gba_wall, 1e-9), 2),
+            "wall_s_cold_incl_compile": round(gba_wall_cold, 2),
+            "wall_s_warm": round(gba_wall_warm, 2),
+            "lm_iters_per_s_warm": round(
+                ba_cfg.iters / max(gba_wall_warm, 1e-9), 2),
         },
         "ate_after_gba_m": round(ate_gba, 4),
         "rpe_trans_m": round(float(t_rmse), 4),
         "rpe_rot_deg": round(float(r_rmse), 4),
     }
+    if loop_diag is not None:
+        out["loop_retrieval_diagnostics"] = loop_diag
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "kitti_scale.json")
     with open(path, "w") as f:

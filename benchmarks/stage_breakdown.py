@@ -167,8 +167,9 @@ def sequence_breakdown(jax, jnp, cfg) -> dict:
     wf = np.clip(np.stack([warm_seq.frame(k) for k in range(24)]) * 255.0,
                  0, 255).astype(np.uint8)
     warm = Tracker(cfg, warm_seq.info().intrinsics)
-    for k in range(0, 24, 8):
-        warm.process_batch(wf[k:k + 8], k)
+    warm.process_batch(wf[:8], 0)
+    warm.process_stream(wf[8:24], 8)
+    warm.finish()
     del warm
 
     tracker = Tracker(cfg, info.intrinsics)
@@ -176,8 +177,9 @@ def sequence_breakdown(jax, jnp, cfg) -> dict:
     timer = StageTimer()
     tracker.timer = timer
     t0 = time.perf_counter()
-    for k in range(8, len(frames), 8):
-        tracker.process_batch(frames[k:k + 8], k)
+    for k in range(8, len(frames), 16):
+        tracker.process_stream(frames[k:k + 16], k)
+    tracker.finish()
     total = time.perf_counter() - t0
     n = len(frames) - 8
 

@@ -247,9 +247,9 @@ def test_tracking_loss_recovery(rng):
 
 def test_pipelined_equals_sequential_batched():
     """The stage-overlapped pipeline (parallel/pipeline.py) must produce
-    bit-identical trajectories to chunk-by-chunk process_batch: the same
-    jitted frontend runs on the same inputs and features are consumed in
-    the same order — only dispatch timing differs."""
+    bit-identical trajectories to sequential per-frame processing: the
+    same jitted frontend runs on the same inputs and features are consumed
+    in the same order — only dispatch timing differs."""
     from visualslam_tpu.io.kitti import SyntheticSequence
     from visualslam_tpu.parallel.pipeline import pipelined_process
 
@@ -261,15 +261,49 @@ def test_pipelined_equals_sequential_batched():
     imgs = np.stack([seq.frame(k) for k in range(len(seq))])
 
     t1 = Tracker(cfg, info.intrinsics)
-    t1.process_batch(imgs[:3], 0)
-    t1.process_batch(imgs[3:6], 3)
-    t1.process_batch(imgs[6:], 6)
+    # same vmapped frontend AND the same chunking both sides (vmap width
+    # changes reduction order -> 1e-7 descriptor drift -> chaos)
+    for k in range(0, len(imgs), 3):
+        fb = t1.detect_batch(imgs[k:k + 3])
+        for i in range(len(imgs[k:k + 3])):
+            t1.process_features(Tracker.features_at(fb, i), k + i)
 
     t2 = Tracker(cfg, info.intrinsics)
     results = pipelined_process(t2, imgs, batch=3)
 
     assert [r.frame_id for r in results] == list(range(8))
     np.testing.assert_array_equal(t1.trajectory(), t2.trajectory())
+
+
+def test_process_stream_equals_process_batch():
+    """The lag-1 pipelined stream (process_stream + finish) must produce
+    bit-identical results to synchronous chunk-by-chunk process_batch:
+    the same engine program runs on the same inputs in the same order —
+    only the harvest timing differs (telemetry consumed one batch late)."""
+    from visualslam_tpu.io.kitti import SyntheticSequence
+
+    seq = SyntheticSequence(num_frames=12, h=120, w=160, n_dots=400)
+    info = seq.info()
+    cfg = CFG.replace(pyramid=CFG.pyramid.replace(num_octaves=2),
+                      sift=CFG.sift.replace(max_keypoints_per_octave=256,
+                                            max_keypoints=512))
+    imgs = np.stack([seq.frame(k) for k in range(len(seq))])
+
+    t1 = Tracker(cfg, info.intrinsics)
+    for k in range(0, 12, 4):
+        t1.process_batch(imgs[k:k + 4], k)
+
+    t2 = Tracker(cfg, info.intrinsics)
+    out = []
+    for k in range(0, 12, 4):
+        out.extend(t2.process_stream(imgs[k:k + 4], k))
+    out.extend(t2.finish())
+
+    assert sorted(r.frame_id for r in out) == list(range(12))
+    assert len(t2.frames) == 12
+    np.testing.assert_array_equal(t1.trajectory(), t2.trajectory())
+    assert sum(f.is_keyframe for f in t1.frames) == sum(
+        f.is_keyframe for f in t2.frames)
 
 
 def test_async_ba_matches_sync(rng):

@@ -160,24 +160,32 @@ def cmd_run(args) -> None:
                 tracker, ((ids[0], imgs) for ids, imgs in
                           rendered_batches()))
     else:
+        # the default driver is the lag-1 pipelined stream: each batch's
+        # engine program is dispatched before the previous batch's
+        # telemetry is consumed, so the readback round trip hides behind a
+        # full batch of device compute (slam/tracker.process_stream)
         def run_batches():
             for ids, imgs in rendered_batches():
                 if len(ids) > 1:
-                    yield ids, tracker.process_batch(imgs, ids[0])
+                    yield ids, tracker.process_stream(imgs, ids[0])
                 else:
                     yield ids, [tracker.process(imgs[0], ids[0])]
 
     try:
         for ids, results in run_batches():
-            res = results[-1]
             el = time.perf_counter() - t0
             fps = (ids[-1] - start + 1) / el
-            print(f"frame {ids[-1]}/{len(seq)} inliers={res.num_inliers} "
-                  f"kf={res.is_keyframe} loops={tracker.num_loop_closures} "
-                  f"{fps:.1f} fps", flush=True)
+            if results:
+                res = results[-1]
+                print(f"frame {res.frame_id}/{len(seq)} "
+                      f"inliers={res.num_inliers} kf={res.is_keyframe} "
+                      f"loops={tracker.num_loop_closures} "
+                      f"{fps:.1f} fps", flush=True)
             if (args.checkpoint_every
                     and (ids[-1] + 1) % args.checkpoint_every < B):
+                tracker.finish()    # land in-flight batches before saving
                 save_checkpoint(ckpt_path, tracker)
+        tracker.finish()
     except Exception as e:  # failure detection: save state, surface it
         save_checkpoint(ckpt_path, tracker)
         print(f"run FAILED ({type(e).__name__}: {e}); emergency "
@@ -296,11 +304,16 @@ def cmd_accuracy(args) -> None:
         ("loop-96", "fast", dict(num_frames=96, trajectory="loop"),
          False, 8),
         ("dolly-100+gba", "fast", dict(num_frames=100), True, 8),
+        # batch-size parity probe (VERDICT r4 item 4): the in-scan window
+        # BA must make ATE independent of where batch boundaries fall
+        ("arc-60", "fast", dict(num_frames=60, trajectory="arc"), False, 16),
         # the EXACT bench configuration (VERDICT r3 item 5): same world,
         # resolution, profile, and batch size as bench.py — the fps
         # headline and an ATE finally measured on the same run
         ("bench-96", "fast", dict(num_frames=96, h=376, w=1248,
                                   n_dots=8000, step=0.4), False, 16),
+        ("bench-96", "fast", dict(num_frames=96, h=376, w=1248,
+                                  n_dots=8000, step=0.4), False, 8),
         # same world under the reference profile: the fast-vs-reference
         # ATE comparison AT the bench resolution (VERDICT r3 item 5 asks
         # the fast profile to be within ~1.5x of this row)
@@ -331,11 +344,26 @@ def cmd_accuracy(args) -> None:
             gt_all = info.gt_poses
             init_depth = 20.0
             cfg = FAST_CONFIG if profile == "fast" else DEFAULT_CONFIG
-        tracker = Tracker(cfg, intr, init_depth=init_depth)
         frames = np.stack([seq.frame(k) for k in range(len(seq))])
+        # warm the compiled programs at this (config, shape) so the fps
+        # column measures the pipeline, not compilation (VERDICT r4: the
+        # unwarmed rows understated fps ~10x and invited misquotation)
+        h_w, w_w = frames.shape[1:3]
+        warm_seq = SyntheticSequence(num_frames=24, h=h_w, w=w_w,
+                                     n_dots=2000, seed=11)
+        warm = Tracker(cfg, warm_seq.info().intrinsics,
+                       init_depth=init_depth)
+        wf = np.stack([warm_seq.frame(k) for k in range(24)])
+        warm.process_batch(wf[:8], 0)
+        warm.process_stream(wf[8:8 + batch], 8)
+        warm.finish()
+        del warm
+
+        tracker = Tracker(cfg, intr, init_depth=init_depth)
         t0 = time.perf_counter()
         for k in range(0, len(frames), batch):
-            tracker.process_batch(frames[k:k + batch], k)
+            tracker.process_stream(frames[k:k + batch], k)
+        tracker.finish()
         wall = time.perf_counter() - t0
         if use_gba:
             tracker.global_ba()
@@ -346,7 +374,8 @@ def cmd_accuracy(args) -> None:
         inl = [f.num_inliers for f in tracker.frames if f.num_inliers > 0]
         rows.append({
             "scenario": name, "profile": profile, "commit": commit,
-            "frames": len(frames), "fps": round(len(frames) / wall, 2),
+            "frames": len(frames), "batch": batch,
+            "fps": round(len(frames) / wall, 2),
             "ate_m": round(float(ate), 4),
             "rpe_trans_m": round(float(t_rmse), 4),
             "rpe_rot_deg": round(float(r_rmse), 4),
@@ -370,7 +399,8 @@ def cmd_accuracy(args) -> None:
         rows.append({
             "scenario": f"kitti-{ks['frames']} (end-to-end+gba)",
             "profile": ks["profile"], "commit": "see json",
-            "frames": ks["frames"], "fps": ks["sequence_fps"],
+            "frames": ks["frames"], "batch": ks.get("batch", "-"),
+            "fps": ks["sequence_fps"],
             "ate_m": ks["ate_after_gba_m"],
             "rpe_trans_m": ks["rpe_trans_m"],
             "rpe_rot_deg": ks["rpe_rot_deg"],

@@ -144,6 +144,10 @@ def _score_fn(threshold: float, tile_h: int, H: int, W: int):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, dog):  # noqa: ANN001
+        # single-level batching only: a second nested vmap (or an unbatched
+        # dog arg) would feed a 5-D array into the pallas_call
+        assert list(in_batched) == [True], (
+            "pallas extrema score supports exactly one mapped axis")
         return _score_batched(dog, threshold, tile_h, H, W), True
 
     return f
@@ -239,6 +243,9 @@ def _winners_fn(threshold: float, tile_h: int, H: int, W: int):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, dog):  # noqa: ANN001
+        # single-level batching only (see _score_fn's rule)
+        assert list(in_batched) == [True], (
+            "pallas extrema winners supports exactly one mapped axis")
         return (_winners_batched(dog, threshold, tile_h, H, W),
                 (True, True))
 

@@ -46,16 +46,15 @@ def save_checkpoint(path: str, tracker) -> None:
 
         p = jax.device_get(tracker._eng_persist)
         n = int(tracker._eng_db_n)
-        blobs.update(
-            eng_kf_desc=p.kf_desc, eng_kf_yx=p.kf_yx,
-            eng_kf_valid=p.kf_valid, eng_kf_has_lm=p.kf_has_lm,
-            eng_lm_desc=p.lm_desc, eng_lm_last=p.lm_last,
-            eng_db_g=p.db_g[:n], eng_db_desc=p.db_desc[:n],
-            eng_db_yx=p.db_yx[:n], eng_db_lmw=p.db_lmw[:n],
-            eng_db_haslm=p.db_haslm[:n], eng_db_R=p.db_R[:n],
-            eng_db_t=p.db_t[:n],
-            eng_db_n=np.int64(n),
-            eng_ids=tracker._eng_ids, eng_uids=tracker._eng_uids)
+        for name, arr in p._asdict().items():
+            a = np.asarray(arr)
+            if name.startswith("db_") and a.ndim >= 1 and name != "db_n":
+                a = a[:n]       # ring sliced to the live entry count
+            blobs[f"eng_{name}"] = a
+        blobs["eng_db_n"] = np.int64(n)
+        blobs["eng_ids"] = tracker._eng_ids
+        blobs["eng_uids"] = tracker._eng_uids
+        blobs["eng_gen"] = tracker._eng_gen
     lc = getattr(tracker, "loop_closer", None)
     if lc is not None and lc.entries:
         blobs["lc_fids"] = np.asarray([e.frame_id for e in lc.entries],
@@ -161,29 +160,18 @@ def load_checkpoint(path: str, tracker) -> None:
 
         CAP = tracker.cfg.loop.db_capacity
         n = int(z["eng_db_n"])
-
-        def ring(name, tail):
-            full = np.zeros((CAP,) + tail, z[name].dtype)
-            full[:n] = z[name]
-            return jnp.asarray(full)
-
-        p = EnginePersist(
-            kf_desc=jnp.asarray(z["eng_kf_desc"]),
-            kf_yx=jnp.asarray(z["eng_kf_yx"]),
-            kf_valid=jnp.asarray(z["eng_kf_valid"]),
-            kf_has_lm=jnp.asarray(z["eng_kf_has_lm"]),
-            lm_desc=jnp.asarray(z["eng_lm_desc"]),
-            lm_last=jnp.asarray(z["eng_lm_last"]),
-            db_g=ring("eng_db_g", z["eng_db_g"].shape[1:]),
-            db_desc=ring("eng_db_desc", z["eng_db_desc"].shape[1:]),
-            db_yx=ring("eng_db_yx", z["eng_db_yx"].shape[1:]),
-            db_lmw=ring("eng_db_lmw", z["eng_db_lmw"].shape[1:]),
-            db_haslm=ring("eng_db_haslm", z["eng_db_haslm"].shape[1:]),
-            db_R=ring("eng_db_R", z["eng_db_R"].shape[1:]),
-            db_t=ring("eng_db_t", z["eng_db_t"].shape[1:]))
-        tracker._eng_persist = p
+        fields = {}
+        for name in EnginePersist._fields:
+            a = z[f"eng_{name}"]
+            if name.startswith("db_") and name != "db_n":
+                full = np.zeros((CAP,) + a.shape[1:], a.dtype)
+                full[:n] = a
+                a = full
+            fields[name] = jnp.asarray(a)
+        tracker._eng_persist = EnginePersist(**fields)
         tracker._eng_ids = z["eng_ids"].copy()
         tracker._eng_uids = z["eng_uids"].copy()
+        tracker._eng_gen = z["eng_gen"].copy()
         tracker._eng_db_n = n
         tracker._eng_ready = True
     # rebuild the jax-side previous-feature cache from the last keyframe

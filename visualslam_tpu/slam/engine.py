@@ -1,43 +1,48 @@
 """Device-resident SLAM engine: a whole frame batch as ONE device program.
 
 Round-3 measurements (benchmarks/stage_breakdown.json) put ~117 ms of host
-time on every keyframe: a ~1 MB descriptor readback (58 ms), a separate
-loop-closure dispatch+readback (40 ms), a BA flush (14 ms), a device-cache
-re-upload (5 ms) — plus one extra dispatch/readback round per keyframe
-because the batched track scan had to re-enter after every promotion. At
-~14 keyframes per 96 frames that keyframe path alone was the gap between
-~21 fps and the 30 fps north star (reference promise: the stages "tied
-together", /root/reference/README.md:24).
-
-This module removes the host from the keyframe path entirely. Keyframe
-promotion happens INSIDE the scanned batch program:
+time on every keyframe: a ~1 MB descriptor readback, a separate loop-closure
+dispatch+readback, a BA flush, a device-cache re-upload — plus one extra
+dispatch/readback round per keyframe because the batched track scan had to
+re-enter after every promotion. Round 4 moved keyframe promotion INTO the
+scanned batch program. Round 5 removes the remaining per-batch host
+dependencies so the host can consume telemetry one batch LATE (lag-1
+pipelining, slam/tracker.process_stream) while the device runs ahead:
 
   per frame   track_step_lite (local-map match + PnP + velocity model)
-  on promote  2D-2D match vs the last keyframe + triangulation gates
-              (slam/track_step.keyframe_step), then — still on device —
-              * local-map maintenance: descriptor refresh for tracked
-                landmarks, slot allocation for new ones (free slots first,
-                then oldest-seen; the host upload of X/valid at the next
-                batch boundary remains the authority on window membership)
-              * keyframe-reference swap (the 2D-2D source becomes this
-                frame; descriptors NEVER travel to the host)
-              * loop database append: global descriptor, landmark-first
-                top-Ks subsample, landmark-position snapshot
-              * loop retrieval (cosine matvec over the device database) +
-                geometric verification (descriptor match + motion-only PnP
-                per candidate) + Sim(3) relative-scale estimate
+  on promote  (still inside the scan)
+              * windowed bundle adjustment over the device-resident
+                observation grid — refines the window poses and landmark
+                positions BEFORE the new keyframe's triangulation gates run
+                (the round-4 "in-batch promotion chaining" accuracy bug:
+                the second promotion of a batch triangulated against a
+                PnP-only anchor pose; now every promotion sees a
+                BA-refined window, VERDICT r4 item 4)
+              * re-refined current pose against the BA-adjusted local map
+              * 2D-2D match vs the last keyframe + triangulation gates
+                (slam/track_step.keyframe_step)
+              * local-map maintenance + keyframe-reference swap
+              * window-ring append + observation-grid update
+              * loop database append, retrieval (cosine matvec) +
+                geometric verification + Sim(3) relative-scale estimate
 
-so a B-frame batch costs ONE dispatch + ONE packed readback of
-[B, 24] stats + one ~66 KB record per promotion, regardless of how many
-keyframes it produced. The host's remaining jobs per batch: decode the
-packed buffer into map bookkeeping (numpy), dispatch the (async) window BA,
-and — only when a verified loop edge came back — run the pose graph and
-upload the corrections.
+Everything the tracker needs between batches — pose state, velocity,
+keyframe reference, local-map positions/validity, the keyframe window and
+its observation grid, the loop database — chains device-to-device in
+EnginePersist. The per-batch host upload (EngineDyn) is just the frame
+counter base, a mid-batch re-entry index, and an (almost always empty)
+landmark kill list. The packed readback ships per-frame stats, one compact
+record per promotion, and the post-BA window poses + landmark positions so
+the host map stays a faithful (lag-1) mirror for global BA, loop closure
+pose graphs, and checkpointing.
+
+The reference promises these stages "tied together to create a SLAM
+solution" (/root/reference/README.md:24) — this module is that tie, built
+so a B-frame batch costs ONE dispatch and ONE (prepaid, lag-1) readback.
 
 Capacities (all static per compiled program): K feature slots, Kl local-map
-slots, M match slots, Ks loop-subsample slots, DBCAP loop-database entries,
-P = max promotions per batch (ceil(B / max(1, keyframe_min_gap)), which the
-gating makes unreachable to overflow).
+slots, M match slots, W window cameras (cfg.ba.max_cameras), Ks loop
+subsample, DBCAP loop-database entries, P = max promotions per batch.
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from visualslam_tpu.backend.ba import BAProblem, run_ba
 from visualslam_tpu.backend.pnp import refine_pose
 from visualslam_tpu.geometry.camera import normalized
 from visualslam_tpu.models.matching import match_features
@@ -71,17 +77,41 @@ HDR = 8         # promotion record header floats
 
 class EnginePersist(NamedTuple):
     """Device state that lives ACROSS batches and never visits the host
-    (except at checkpoint time). Shapes: K=feature capacity, Df=float
-    descriptor dim, Kl=local-map slots, Ks=loop subsample, N=DBCAP."""
+    (except lag-1 telemetry mirrors and checkpoints). Shapes: K=feature
+    capacity, Df=float descriptor dim, Kl=local-map slots, W=window
+    cameras, Ks=loop subsample, N=DBCAP."""
 
-    kf_desc: jnp.ndarray     # [K, D] last keyframe descriptors (native dtype)
+    # chained tracking state
+    R: jnp.ndarray           # [3, 3] world-to-camera pose state
+    t: jnp.ndarray           # [3]
+    vel: jnp.ndarray         # [6] constant-velocity twist
+    since_kf: jnp.ndarray    # [] int32 frames since last keyframe
+    # last-keyframe reference (2D-2D match source)
+    kf_desc: jnp.ndarray     # [K, D] (native dtype)
     kf_yx: jnp.ndarray       # [K, 2]
     kf_valid: jnp.ndarray    # [K] bool
     kf_has_lm: jnp.ndarray   # [K] bool
-    lm_desc: jnp.ndarray     # [Kl, D] local-map descriptors
+    kf_R: jnp.ndarray        # [3, 3]
+    kf_t: jnp.ndarray        # [3]
+    # local map (device-authoritative between re-enters)
+    lm_desc: jnp.ndarray     # [Kl, D]
+    lm_X: jnp.ndarray        # [Kl, 3] world positions (window-BA refined)
+    lm_valid: jnp.ndarray    # [Kl] bool
     lm_last: jnp.ndarray     # [Kl] int32 frame counter of last association
+    lm_gen: jnp.ndarray      # [Kl] int32 allocation generation per slot
+    # keyframe window ring (left-aligned: oldest at 0) + observation grid
+    win_R: jnp.ndarray       # [W, 3, 3]
+    win_t: jnp.ndarray       # [W, 3]
+    win_valid: jnp.ndarray   # [W] bool
+    win_fid: jnp.ndarray     # [W] int32 global frame id per window cam
+    win_n: jnp.ndarray       # [] int32 live window size
+    obs_x: jnp.ndarray       # [Kl, W, 2] normalized observations
+    obs_ok: jnp.ndarray      # [Kl, W] bool
+    ba_cost: jnp.ndarray     # [] f32 last in-scan window-BA cost (-1 none)
+    # loop database ring
+    db_n: jnp.ndarray        # [] int32 live entries
     db_g: jnp.ndarray        # [N, Df] global descriptors (L2-normalized)
-    db_desc: jnp.ndarray     # [N, Ks, Df] float local descriptors
+    db_desc: jnp.ndarray     # [N, Ks, Df]
     db_yx: jnp.ndarray       # [N, Ks, 2]
     db_lmw: jnp.ndarray      # [N, Ks, 3] landmark snapshot per sub keypoint
     db_haslm: jnp.ndarray    # [N, Ks] bool
@@ -90,46 +120,19 @@ class EnginePersist(NamedTuple):
 
 
 class EngineDyn(NamedTuple):
-    """Host-supplied per-batch inputs (tiny uploads; the host is the
-    authority on poses after BA / loop corrections and on local-map window
-    membership)."""
+    """Per-batch host upload — deliberately tiny so a batch can be
+    dispatched BEFORE the previous batch's telemetry is decoded (lag-1
+    pipelining): nothing here depends on the previous batch's results
+    except the (rare, one-batch-late) kill list."""
 
-    R: jnp.ndarray           # [3, 3] pose state entering the batch
-    t: jnp.ndarray           # [3]
-    vel: jnp.ndarray         # [6]
-    kf_R: jnp.ndarray        # [3, 3] last keyframe pose (post-BA)
-    kf_t: jnp.ndarray        # [3]
-    lm_X: jnp.ndarray        # [Kl, 3] local-map positions (post-BA)
-    lm_valid: jnp.ndarray    # [Kl] bool window membership
-    since_kf: jnp.ndarray    # [] int32 frames since last keyframe
     frame_base: jnp.ndarray  # [] int32 global index of batch frame 0
-    db_n: jnp.ndarray        # [] int32 loop-database entry count
     start: jnp.ndarray       # [] int32 first active frame in the batch
+    kill: jnp.ndarray        # [Kl] bool host-invalidated slots
+    kill_gen: jnp.ndarray    # [Kl] int32 generation the kill refers to
 
 
 class _Carry(NamedTuple):
-    R: jnp.ndarray
-    t: jnp.ndarray
-    vel: jnp.ndarray
-    since_kf: jnp.ndarray
-    kf_desc: jnp.ndarray
-    kf_yx: jnp.ndarray
-    kf_valid: jnp.ndarray
-    kf_has_lm: jnp.ndarray
-    kf_R: jnp.ndarray
-    kf_t: jnp.ndarray
-    lm_desc: jnp.ndarray
-    lm_X: jnp.ndarray
-    lm_valid: jnp.ndarray
-    lm_last: jnp.ndarray
-    db_n: jnp.ndarray
-    db_g: jnp.ndarray
-    db_desc: jnp.ndarray
-    db_yx: jnp.ndarray
-    db_lmw: jnp.ndarray
-    db_haslm: jnp.ndarray
-    db_R: jnp.ndarray
-    db_t: jnp.ndarray
+    p: EnginePersist
     prom_n: jnp.ndarray
     prom_buf: jnp.ndarray
 
@@ -153,9 +156,42 @@ def prom_record_size(M: int) -> int:
     return HDR + M * 7 + M * 9 + NC * LOOP_REC
 
 
+def tail_size(W: int, Kl: int) -> int:
+    """Floats in the per-batch telemetry tail: window poses/ids/validity +
+    landmark positions/validity + the window-BA cost."""
+    return W * (9 + 3 + 1 + 1) + Kl * (3 + 1) + 1
+
+
 def _sub_match_cfg(cfg: SlamConfig):
     return cfg.match.replace(max_matches=cfg.loop.sub_keypoints,
                              metric="l2", impl="xla")
+
+
+def _window_ba(p: EnginePersist, cfg: SlamConfig):
+    """Bundle-adjust the device-resident window: cameras = the keyframe
+    ring, landmarks = local-map slots with >=2 grid observations. Runs the
+    same damped-GN Schur solver as the host path (backend/ba.py) on the
+    fixed [Kl, W] observation grid — no host assembly, no dispatch.
+    Returns (win_R, win_t, lm_X, cost)."""
+    W = p.win_R.shape[0]
+    Kl = p.lm_X.shape[0]
+    obs_n = jnp.sum(p.obs_ok & p.win_valid[None, :], axis=1)     # [Kl]
+    lm_ba = p.lm_valid & (obs_n >= 2)
+    cam_idx = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[None, :], (Kl, W)).reshape(-1)
+    lm_idx = jnp.broadcast_to(
+        jnp.arange(Kl, dtype=jnp.int32)[:, None], (Kl, W)).reshape(-1)
+    ov = (p.obs_ok & lm_ba[:, None] & p.win_valid[None, :]).reshape(-1)
+    prob = BAProblem(
+        R=p.win_R, t=p.win_t, X=p.lm_X,
+        cam_idx=cam_idx, lm_idx=lm_idx,
+        uv=p.obs_x.reshape(-1, 2), obs_valid=ov,
+        cam_valid=p.win_valid, lm_valid=lm_ba)
+    # fix_first_camera anchors window index 0 — the OLDEST keyframe (the
+    # ring is left-aligned), matching the host solver's gauge
+    res = run_ba(prob, cfg.ba)
+    X = jnp.where(lm_ba[:, None], res.X, p.lm_X)
+    return res.R, res.t, X, res.cost
 
 
 def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
@@ -209,17 +245,44 @@ def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
 
 
 def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
-             cfg: SlamConfig, max_depth: float, P: int):
-    """The in-scan keyframe promotion: everything the host used to fetch a
-    megabyte for, as pure device updates + one compact record."""
+             cfg: SlamConfig, max_depth: float, P: int, ok_min: int):
+    """The in-scan keyframe promotion. Order matters for accuracy:
+
+      1. window BA over the device observation grid (refines the previous
+         keyframes and landmark positions — the triangulation anchor is
+         never a raw PnP pose, VERDICT r4 item 4)
+      2. re-refine the current frame's pose against the adjusted local map
+      3. 2D-2D match vs the (refined) last keyframe + triangulation gates
+      4. local-map maintenance, keyframe-reference swap, window append +
+         observation-grid update
+      5. loop database entry + retrieval + verification
+    """
+    p = c.p
     K = feats.capacity
-    Kl = c.lm_desc.shape[0]
+    Kl = p.lm_desc.shape[0]
     M = cfg.match.max_matches
     Ks = cfg.loop.sub_keypoints
-    CAP = c.db_g.shape[0]
+    CAP = p.db_g.shape[0]
+    W = p.win_R.shape[0]
 
-    kfref = KeyframeRef(desc=c.kf_desc, yx=c.kf_yx, kp_valid=c.kf_valid,
-                        kp_has_lm=c.kf_has_lm, R=c.kf_R, t=c.kf_t)
+    # ---- 1. window BA (pre-promotion window) -------------------------
+    win_R, win_t, lm_X, ba_cost = _window_ba(p, cfg)
+    last_idx = jnp.clip(jnp.minimum(p.win_n, W) - 1, 0, W - 1)
+    kf_R = win_R[last_idx]
+    kf_t = win_t[last_idx]
+
+    # ---- 2. re-refine the current pose vs the adjusted map -----------
+    pr2 = refine_pose(lite.R, lite.t, lm_X[lite.ml_idx_a], lite.ml_x,
+                      lite.ml_gated)
+    ok2 = pr2.num_inliers >= ok_min
+    R_cur = jnp.where(ok2, pr2.R, lite.R)
+    t_cur = jnp.where(ok2, pr2.t, lite.t)
+    inliers = jnp.where(ok2, pr2.inliers, lite.ml_inlier)
+    lite = lite._replace(R=R_cur, t=t_cur, ml_inlier=inliers)
+
+    # ---- 3. keyframe products (2D-2D match + triangulation) ----------
+    kfref = KeyframeRef(desc=p.kf_desc, yx=p.kf_yx, kp_valid=p.kf_valid,
+                        kp_has_lm=p.kf_has_lm, R=kf_R, t=kf_t)
     full = keyframe_step(kfref, feats, lite, intr, cfg, max_depth)
     m_idx_a = full.assoc_i[:, 3]
     m_idx_b = full.assoc_i[:, 4]
@@ -228,23 +291,24 @@ def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
 
     seen = lite.ml_gated & lite.ml_inlier                  # [M]
 
-    # ---- local-map maintenance -------------------------------------
+    # ---- 4a. local-map maintenance -----------------------------------
     # new-landmark slot allocation: invalid slots first, then oldest-seen
-    key = jnp.where(c.lm_valid, c.lm_last.astype(jnp.float32), -jnp.inf)
+    key = jnp.where(p.lm_valid, p.lm_last.astype(jnp.float32), -jnp.inf)
     order = jnp.argsort(key)                               # [Kl]
     rank = jnp.cumsum(tri_good.astype(jnp.int32)) - 1
     can_alloc = tri_good & (rank < Kl)
     slot = jnp.where(can_alloc, order[jnp.clip(rank, 0, Kl - 1)], Kl)
 
     idx_seen_a = jnp.where(seen, lite.ml_idx_a, Kl)
-    lm_desc = c.lm_desc.at[idx_seen_a].set(
+    lm_desc = p.lm_desc.at[idx_seen_a].set(
         feats.descriptors[lite.ml_idx_b], mode="drop")
     lm_desc = lm_desc.at[slot].set(feats.descriptors[m_idx_b], mode="drop")
-    lm_X = c.lm_X.at[slot].set(Xw, mode="drop")
-    lm_valid = c.lm_valid.at[slot].set(True, mode="drop")
-    lm_last = c.lm_last.at[slot].set(fctr, mode="drop")
+    lm_X = lm_X.at[slot].set(Xw, mode="drop")
+    lm_valid = p.lm_valid.at[slot].set(True, mode="drop")
+    lm_last = p.lm_last.at[slot].set(fctr, mode="drop")
+    lm_gen = p.lm_gen.at[slot].add(1, mode="drop")
 
-    # ---- keyframe-reference swap ------------------------------------
+    # ---- 4b. keyframe-reference swap ---------------------------------
     has_lm = jnp.zeros(K, bool)
     has_lm = has_lm.at[jnp.where(seen, lite.ml_idx_b, K)].set(
         True, mode="drop")
@@ -254,11 +318,43 @@ def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
     # landmark position per current keypoint (the loop entry's 3D snapshot)
     lmw_kp = jnp.zeros((K, 3), jnp.float32)
     lmw_kp = lmw_kp.at[jnp.where(seen, lite.ml_idx_b, K)].set(
-        c.lm_X[lite.ml_idx_a], mode="drop")
+        lm_X[lite.ml_idx_a], mode="drop")
     lmw_kp = lmw_kp.at[jnp.where(can_alloc, m_idx_b, K)].set(
         Xw, mode="drop")
 
-    # ---- loop database entry ----------------------------------------
+    # ---- 4c. window-ring append + observation grid -------------------
+    full_ring = p.win_n >= W
+    roll = lambda a, ax: jnp.where(full_ring, jnp.roll(a, -1, axis=ax), a)  # noqa: E731
+    win_R = roll(win_R, 0)
+    win_t = roll(win_t, 0)
+    win_valid = roll(p.win_valid, 0)
+    win_fid = roll(p.win_fid, 0)
+    obs_x = roll(p.obs_x, 1)
+    obs_ok = roll(p.obs_ok, 1)
+    wi = jnp.where(full_ring, W - 1, p.win_n)
+    win_R = win_R.at[wi].set(R_cur)
+    win_t = win_t.at[wi].set(t_cur)
+    win_valid = win_valid.at[wi].set(True)
+    win_fid = win_fid.at[wi].set(fctr)
+    win_n = jnp.minimum(p.win_n + 1, W)
+    # the appended column starts empty (after a roll it holds the evicted
+    # oldest camera's wrapped observations)
+    obs_ok = obs_ok.at[:, wi].set(False)
+    # newly allocated slots hold brand-new landmarks: clear their rows
+    obs_ok = (obs_ok & (lm_gen == p.lm_gen)[:, None])
+    # tracked-landmark observations of the new keyframe
+    obs_x = obs_x.at[idx_seen_a, wi].set(lite.ml_x, mode="drop")
+    obs_ok = obs_ok.at[idx_seen_a, wi].set(True, mode="drop")
+    # triangulated landmarks: observed by the previous keyframe (wi-1) and
+    # the new one (wi); a promotion implies win_n >= 1 so wi >= 1 here
+    # except at an (impossible) empty-window promotion — clip to be safe
+    wprev = jnp.clip(wi - 1, 0, W - 1)
+    obs_x = obs_x.at[slot, wprev].set(full.assoc_f[:, 2:4], mode="drop")
+    obs_ok = obs_ok.at[slot, wprev].set(wi >= 1, mode="drop")
+    obs_x = obs_x.at[slot, wi].set(full.assoc_f[:, 4:6], mode="drop")
+    obs_ok = obs_ok.at[slot, wi].set(True, mode="drop")
+
+    # ---- 5. loop database entry + retrieval --------------------------
     descF = float_desc(feats.descriptors)
     kp = feats.keypoints
     w = jnp.where(kp.valid, jnp.maximum(kp.response, 1e-6), 0.0)
@@ -271,32 +367,32 @@ def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
     sub_haslm = has_lm[sub] & kp.valid[sub]
     sub_lmw = lmw_kp[sub]
 
-    # ---- retrieval + verification (against the PRE-append database) --
-    sims = c.db_g @ g                                      # [CAP]
-    elig = jnp.arange(CAP) < (c.db_n - cfg.loop.exclude_recent)
+    # retrieval + verification (against the PRE-append database)
+    sims = p.db_g @ g                                      # [CAP]
+    elig = jnp.arange(CAP) < (p.db_n - cfg.loop.exclude_recent)
     simsm = jnp.where(elig, sims, -2.0)
     top_sims, cand = jax.lax.top_k(simsm, NC)
     sub_cfg = _sub_match_cfg(cfg)
     ver = jax.vmap(
         lambda ci: _verify_candidate(
             sub_desc, sub_yx, sub_haslm, sub_lmw,
-            c.db_desc[ci], c.db_yx[ci], c.db_haslm[ci], c.db_lmw[ci],
-            c.db_R[ci], c.db_t[ci], intr, sub_cfg, cfg.loop.sim3))(cand)
+            p.db_desc[ci], p.db_yx[ci], p.db_haslm[ci], p.db_lmw[ci],
+            p.db_R[ci], p.db_t[ci], intr, sub_cfg, cfg.loop.sim3))(cand)
     loop_pack = jnp.concatenate([
         cand.astype(jnp.float32)[:, None], top_sims[:, None], ver,
     ], axis=1)                                             # [NC, LOOP_REC]
 
-    # ---- database append --------------------------------------------
-    wr = jnp.where(c.db_n < CAP, c.db_n, CAP)
-    db_g = c.db_g.at[wr].set(g, mode="drop")
-    db_desc = c.db_desc.at[wr].set(sub_desc, mode="drop")
-    db_yx = c.db_yx.at[wr].set(sub_yx, mode="drop")
-    db_lmw = c.db_lmw.at[wr].set(sub_lmw, mode="drop")
-    db_haslm = c.db_haslm.at[wr].set(sub_haslm, mode="drop")
-    db_R = c.db_R.at[wr].set(lite.R, mode="drop")
-    db_t = c.db_t.at[wr].set(lite.t, mode="drop")
+    # database append
+    wr = jnp.where(p.db_n < CAP, p.db_n, CAP)
+    db_g = p.db_g.at[wr].set(g, mode="drop")
+    db_desc = p.db_desc.at[wr].set(sub_desc, mode="drop")
+    db_yx = p.db_yx.at[wr].set(sub_yx, mode="drop")
+    db_lmw = p.db_lmw.at[wr].set(sub_lmw, mode="drop")
+    db_haslm = p.db_haslm.at[wr].set(sub_haslm, mode="drop")
+    db_R = p.db_R.at[wr].set(R_cur, mode="drop")
+    db_t = p.db_t.at[wr].set(t_cur, mode="drop")
 
-    # ---- promotion record -------------------------------------------
+    # ---- promotion record --------------------------------------------
     hdr = jnp.zeros(HDR, jnp.float32)
     hdr = hdr.at[0].set(i.astype(jnp.float32))
     hdr = hdr.at[1].set(full.stats[0])                     # 2D-2D count
@@ -309,14 +405,18 @@ def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
     ])
     prom_buf = c.prom_buf.at[c.prom_n].set(rec, mode="drop")
 
-    return c._replace(
+    p = p._replace(
+        R=R_cur, t=t_cur,
         kf_desc=feats.descriptors, kf_yx=kp.yx, kf_valid=kp.valid,
-        kf_has_lm=has_lm, kf_R=lite.R, kf_t=lite.t,
+        kf_has_lm=has_lm, kf_R=R_cur, kf_t=t_cur,
         lm_desc=lm_desc, lm_X=lm_X, lm_valid=lm_valid, lm_last=lm_last,
-        db_n=jnp.minimum(c.db_n + 1, CAP),
+        lm_gen=lm_gen,
+        win_R=win_R, win_t=win_t, win_valid=win_valid, win_fid=win_fid,
+        win_n=win_n, obs_x=obs_x, obs_ok=obs_ok, ba_cost=ba_cost,
+        db_n=jnp.minimum(p.db_n + 1, CAP),
         db_g=db_g, db_desc=db_desc, db_yx=db_yx, db_lmw=db_lmw,
-        db_haslm=db_haslm, db_R=db_R, db_t=db_t,
-        prom_n=c.prom_n + 1, prom_buf=prom_buf)
+        db_haslm=db_haslm, db_R=db_R, db_t=db_t)
+    return _Carry(p=p, prom_n=c.prom_n + 1, prom_buf=prom_buf)
 
 
 def run_engine_batch(persist: EnginePersist, dyn: EngineDyn,
@@ -324,37 +424,35 @@ def run_engine_batch(persist: EnginePersist, dyn: EngineDyn,
                      ok_min: int, max_depth: float):
     """The whole-batch program. Returns (packed f32 buffer, new persist).
 
-    packed layout: [B*24 stats][prom_n][db_n][P * prom_record_size(M)].
-    stats row: the track_step_lite 22-vector + [22] promoted + [23] spare.
+    packed layout: [B*24 stats][prom_n][db_n][P * prom_record_size(M)]
+    [tail_size(W, Kl) telemetry tail]. stats row: the track_step_lite
+    22-vector + [22] promoted + [23] spare.
     """
     B = feats_b.keypoints.yx.shape[0]
     Kl = persist.lm_desc.shape[0]
     M = cfg.match.max_matches
+    W = persist.win_R.shape[0]
     P = max(1, -(-B // max(1, cfg.keyframe_min_gap)))
     PROD = prom_record_size(M)
 
-    carry0 = _Carry(
-        R=dyn.R, t=dyn.t, vel=dyn.vel, since_kf=dyn.since_kf,
-        kf_desc=persist.kf_desc, kf_yx=persist.kf_yx,
-        kf_valid=persist.kf_valid, kf_has_lm=persist.kf_has_lm,
-        kf_R=dyn.kf_R, kf_t=dyn.kf_t,
-        lm_desc=persist.lm_desc, lm_X=dyn.lm_X, lm_valid=dyn.lm_valid,
-        lm_last=persist.lm_last,
-        db_n=dyn.db_n,
-        db_g=persist.db_g, db_desc=persist.db_desc, db_yx=persist.db_yx,
-        db_lmw=persist.db_lmw, db_haslm=persist.db_haslm,
-        db_R=persist.db_R, db_t=persist.db_t,
-        prom_n=jnp.int32(0), prom_buf=jnp.zeros((P, PROD), jnp.float32))
+    # host-side invalidations (lag-1): only where the generation matches —
+    # a slot the device re-allocated since the host's snapshot is spared
+    kill = dyn.kill & (dyn.kill_gen == persist.lm_gen)
+    persist = persist._replace(lm_valid=persist.lm_valid & ~kill)
+
+    carry0 = _Carry(p=persist, prom_n=jnp.int32(0),
+                    prom_buf=jnp.zeros((P, PROD), jnp.float32))
 
     def step(c: _Carry, i):
+        p = c.p
         feats = index_features(feats_b, i)
         active = i >= dyn.start
-        lmap = LocalMap(desc=c.lm_desc, X=c.lm_X, valid=c.lm_valid)
-        lite = track_step_lite(lmap, feats, TrackState(c.R, c.t, c.vel),
+        lmap = LocalMap(desc=p.lm_desc, X=p.lm_X, valid=p.lm_valid)
+        lite = track_step_lite(lmap, feats, TrackState(p.R, p.t, p.vel),
                                intr, cfg, ok_min)
         w = lambda a, b: jnp.where(active, a, b)            # noqa: E731
         lite = lite._replace(
-            R=w(lite.R, c.R), t=w(lite.t, c.t), vel=w(lite.vel, c.vel),
+            R=w(lite.R, p.R), t=w(lite.t, p.t), vel=w(lite.vel, p.vel),
             stats=jnp.where(active, lite.stats, 0.0),
             ml_gated=lite.ml_gated & active,
             ml_inlier=lite.ml_inlier & active,
@@ -362,44 +460,47 @@ def run_engine_batch(persist: EnginePersist, dyn: EngineDyn,
 
         fctr = dyn.frame_base + i
         seen = lite.ml_gated & lite.ml_inlier
-        lm_last = c.lm_last.at[jnp.where(seen, lite.ml_idx_a, Kl)].set(
+        lm_last = p.lm_last.at[jnp.where(seen, lite.ml_idx_a, Kl)].set(
             fctr, mode="drop")
-        since = jnp.where(active, c.since_kf + 1, c.since_kf)
+        since = jnp.where(active, p.since_kf + 1, p.since_kf)
         inl = lite.stats[1]
         need_kf = (active & lite.ok & (since >= cfg.keyframe_min_gap)
                    & ((inl < cfg.keyframe_min_inliers)
                       | (since >= cfg.keyframe_max_gap))
                    & (c.prom_n < P))
 
-        c = c._replace(R=lite.R, t=lite.t, vel=lite.vel, lm_last=lm_last,
-                       since_kf=jnp.where(need_kf, 0, since))
+        c = c._replace(p=p._replace(
+            R=lite.R, t=lite.t, vel=lite.vel, lm_last=lm_last,
+            since_kf=jnp.where(need_kf, 0, since)))
         c = jax.lax.cond(
             need_kf,
             lambda cc: _promote(cc, feats, lite, i, fctr, intr, cfg,
-                                max_depth, P),
+                                max_depth, P, ok_min),
             lambda cc: cc,
             c)
+        # pose fields come from the carry: a promotion refines them past
+        # the lite values (window BA + re-PnP)
         stats = jnp.concatenate([
-            lite.stats,
+            lite.stats[:4], c.p.R.reshape(-1), c.p.t, c.p.vel,
             jnp.stack([need_kf.astype(jnp.float32), jnp.float32(0.0)]),
         ])
         return c, stats
 
     carry, stats = jax.lax.scan(step, carry0,
                                 jnp.arange(B, dtype=jnp.int32))
+    p = carry.p
     packed = jnp.concatenate([
         stats.reshape(-1),
         carry.prom_n.astype(jnp.float32)[None],
-        carry.db_n.astype(jnp.float32)[None],
+        p.db_n.astype(jnp.float32)[None],
         carry.prom_buf.reshape(-1),
+        # telemetry tail: post-BA window + landmark state for the host map
+        p.win_R.reshape(-1), p.win_t.reshape(-1),
+        p.win_fid.astype(jnp.float32), p.win_valid.astype(jnp.float32),
+        p.lm_X.reshape(-1), p.lm_valid.astype(jnp.float32),
+        p.ba_cost.reshape(1),
     ])
-    new_persist = EnginePersist(
-        kf_desc=carry.kf_desc, kf_yx=carry.kf_yx, kf_valid=carry.kf_valid,
-        kf_has_lm=carry.kf_has_lm, lm_desc=carry.lm_desc,
-        lm_last=carry.lm_last, db_g=carry.db_g, db_desc=carry.db_desc,
-        db_yx=carry.db_yx, db_lmw=carry.db_lmw, db_haslm=carry.db_haslm,
-        db_R=carry.db_R, db_t=carry.db_t)
-    return packed, new_persist
+    return packed, p
 
 
 def engine_relocalize(persist: EnginePersist, db_n, feats: Features,
@@ -436,17 +537,47 @@ def engine_relocalize(persist: EnginePersist, db_n, feats: Features,
         cand.astype(jnp.float32)[:, None], top_sims[:, None], ver], axis=1)
 
 
-def apply_db_correction(persist: EnginePersist, Rg, tg, sg, Rc, tc, n):
-    """Propagate pose-graph corrections into the device database: entry
-    k < n adopts corrected pose (Rc[k], tc[k]) and its landmark snapshot
-    moves by its own world-side Sim(3) G_k: X' = sg (X @ Rg^T) + tg
-    (mirrors LoopCloser.optimize's propagate step)."""
+def apply_correction(persist: EnginePersist, Rg, tg, sg, Rc, tc, n,
+                     Rl, tl, sl):
+    """Propagate pose-graph corrections into the device state without a
+    host re-enter.
+
+    Database entries k < n adopt corrected pose (Rc[k], tc[k]) and their
+    landmark snapshots move by their own world-side Sim(3) G_k:
+    X' = sg (X @ Rg^T) + tg (mirrors LoopCloser.optimize's propagate step).
+
+    The live state — local-map landmarks, window poses, pose state, the
+    keyframe reference — moves by the LATEST keyframe's world correction
+    G_last = (Rl, tl, sl), mirroring tracker._apply_loop_correction:
+    X' = sl (X @ Rl^T) + tl; poses T' = descale(T . G_last^-1)."""
     CAP = persist.db_g.shape[0]
     mask = jnp.arange(CAP) < n
     lmw = (jnp.einsum("nkd,ned->nke", persist.db_lmw, Rg)
            * sg[:, None, None] + tg[:, None, :])
     m3 = mask[:, None, None]
+
+    # world-side Sim(3) for the live state
+    Rl = jnp.asarray(Rl)
+    tl = jnp.asarray(tl)
+    sl = jnp.asarray(sl)
+    Rli = Rl.T
+    tli = -(Rl.T @ tl) / sl
+    sli = 1.0 / sl
+
+    def corr_pose(R, t):
+        # T' = (R Rli, (R tli + t) / sli)
+        Rn = R @ Rli
+        tn = (jnp.einsum("...ij,j->...i", R, tli) + t) / sli
+        return Rn, tn
+
+    lm_X = sl * (persist.lm_X @ Rl.T) + tl
+    win_R, win_t = corr_pose(persist.win_R, persist.win_t)
+    R_s, t_s = corr_pose(persist.R, persist.t)
+    kf_R, kf_t = corr_pose(persist.kf_R, persist.kf_t)
+
     return persist._replace(
+        lm_X=lm_X, win_R=win_R, win_t=win_t,
+        R=R_s, t=t_s, kf_R=kf_R, kf_t=kf_t,
         db_lmw=jnp.where(m3, lmw, persist.db_lmw),
         db_R=jnp.where(m3, Rc, persist.db_R),
         db_t=jnp.where(mask[:, None], tc, persist.db_t))
@@ -476,9 +607,23 @@ class PromRecord(NamedTuple):
     loop: np.ndarray         # [NC, LOOP_REC] retrieval+verify results
 
 
-def decode_packed(packed: np.ndarray, B: int, M: int, P: int):
+class EngineTail(NamedTuple):
+    """Host-decoded telemetry tail: the post-BA window + landmark state
+    the host mirrors into its map (lag-1)."""
+
+    win_R: np.ndarray        # [W, 3, 3]
+    win_t: np.ndarray        # [W, 3]
+    win_fid: np.ndarray      # [W] int64
+    win_valid: np.ndarray    # [W] bool
+    lm_X: np.ndarray         # [Kl, 3]
+    lm_valid: np.ndarray     # [Kl] bool
+    ba_cost: float
+
+
+def decode_packed(packed: np.ndarray, B: int, M: int, P: int,
+                  W: int, Kl: int):
     """Inverse of run_engine_batch's packing. Returns
-    (stats [B, 24], [PromRecord...], db_n)."""
+    (stats [B, 24], [PromRecord...], db_n, EngineTail)."""
     a = np.asarray(packed)
     o = B * 24
     stats = a[:o].reshape(B, 24)
@@ -502,7 +647,23 @@ def decode_packed(packed: np.ndarray, B: int, M: int, P: int):
             tri_good=(ai[:, 5] & 2).astype(bool), tri_slot=ai[:, 6],
             m_x1=af[:, 2:4], m_x2=af[:, 4:6], tri_X=af[:, 6:9],
             loop=loop))
-    return stats, recs, db_n
+    o += P * PROD
+    win_R = a[o:o + W * 9].reshape(W, 3, 3).astype(np.float32)
+    o += W * 9
+    win_t = a[o:o + W * 3].reshape(W, 3).astype(np.float32)
+    o += W * 3
+    win_fid = a[o:o + W].astype(np.int64)
+    o += W
+    win_valid = a[o:o + W] > 0.5
+    o += W
+    lm_X = a[o:o + Kl * 3].reshape(Kl, 3).astype(np.float32)
+    o += Kl * 3
+    lm_valid = a[o:o + Kl] > 0.5
+    o += Kl
+    tail = EngineTail(win_R=win_R, win_t=win_t, win_fid=win_fid,
+                      win_valid=win_valid, lm_X=lm_X, lm_valid=lm_valid,
+                      ba_cost=float(a[o]))
+    return stats, recs, db_n, tail
 
 
 def decode_loop_row(row: np.ndarray):
@@ -513,17 +674,20 @@ def decode_loop_row(row: np.ndarray):
             row[13:16].astype(np.float32), float(row[16]), int(row[17]))
 
 
-def build_persist_from_host(slam_map, cfg: SlamConfig,
-                            db_entries=None, old_persist=None,
-                            db_capacity: int | None = None):
+def build_persist_from_host(slam_map, cfg: SlamConfig, R, t, vel,
+                            since_kf: int, db_entries=None,
+                            old_persist=None,
+                            db_capacity: int | None = None,
+                            db_count: int | None = None):
     """Assemble an EnginePersist from host state — used on engine entry
     (after bootstrap/two-view init, recovery, or checkpoint resume).
 
-    Local map + keyframe ref come from the host map (whose keyframes hold
-    host descriptor copies at this point — init and recovery paths fetch
-    them). The loop database comes from `old_persist` when one exists
-    (device entries survive recovery: history stays usable for
-    relocalization) else from host LoopCloser-style `db_entries`.
+    Local map + keyframe ref + window ring + observation grid come from
+    the host map (whose keyframes hold host descriptor copies at this
+    point — init and recovery paths fetch them). The loop database comes
+    from `old_persist` when one exists (device entries survive recovery:
+    history stays usable for relocalization) else from host
+    LoopCloser-style `db_entries`.
 
     Returns (persist, lmap_ids [Kl] global landmark slot per engine slot,
     db_n)."""
@@ -531,6 +695,7 @@ def build_persist_from_host(slam_map, cfg: SlamConfig,
 
     Kl = cfg.local_map_size
     Ks = cfg.loop.sub_keypoints
+    W = cfg.ba.max_cameras
     CAP = db_capacity or cfg.loop.db_capacity
 
     kf = slam_map.last_keyframe_slot()
@@ -543,11 +708,40 @@ def build_persist_from_host(slam_map, cfg: SlamConfig,
     Df = float_desc_dim(desc.shape[1], desc.dtype)
     lmap, ids = build_local_map(slam_map, Kl, desc.shape[1], desc.dtype)
 
+    # window ring, left-aligned (oldest at index 0) + observation grid
+    win_R = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+    win_t = np.zeros((W, 3), np.float32)
+    win_valid = np.zeros(W, bool)
+    win_fid = np.zeros(W, np.int32)
+    obs_x = np.zeros((Kl, W, 2), np.float32)
+    obs_ok = np.zeros((Kl, W), bool)
+    rev = {int(g): k for k, g in enumerate(ids) if g >= 0}
+    slots = [s for s in slam_map.kf_order if slam_map.kf_valid[s]][-W:]
+    for w, s in enumerate(slots):
+        win_R[w] = slam_map.kf_R[s]
+        win_t[w] = slam_map.kf_t[s]
+        win_valid[w] = True
+        win_fid[w] = int(slam_map.kf_frame_id[s])
+        if s in slam_map.obs:
+            lm_idx, lm_uid, uv = slam_map.obs[s]
+            keep = (slam_map.lm_valid[lm_idx]
+                    & (slam_map.lm_uid[lm_idx] == lm_uid))
+            for g_lm, p_uv in zip(lm_idx[keep], uv[keep]):
+                k = rev.get(int(g_lm))
+                if k is not None:
+                    obs_x[k, w] = p_uv
+                    obs_ok[k, w] = True
+
     if old_persist is not None:
         db = (old_persist.db_g, old_persist.db_desc, old_persist.db_yx,
               old_persist.db_lmw, old_persist.db_haslm, old_persist.db_R,
               old_persist.db_t)
         db_n = None      # caller keeps its own count
+        # the HOST count is authoritative at re-enter: device entries past
+        # it (speculative promotions discarded by a recovery) are dropped
+        # by resetting the ring write index
+        db_n_dev = (jnp.int32(db_count) if db_count is not None
+                    else old_persist.db_n)
     else:
         db_g = np.zeros((CAP, Df), np.float32)
         db_desc = np.zeros((CAP, Ks, Df), np.float32)
@@ -578,15 +772,28 @@ def build_persist_from_host(slam_map, cfg: SlamConfig,
         db = tuple(jnp.asarray(x) for x in
                    (db_g, db_desc, db_yx, db_lmw, db_haslm, db_R, db_t))
         db_n = n
+        db_n_dev = jnp.int32(n)
 
     kp_lm = slam_map.kf_kp_lm[kf]
     persist = EnginePersist(
+        R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
+        vel=jnp.asarray(vel, jnp.float32),
+        since_kf=jnp.int32(since_kf),
         kf_desc=jnp.asarray(desc),
         kf_yx=jnp.asarray(slam_map.kf_yx[kf], jnp.float32),
         kf_valid=jnp.asarray(slam_map.kf_kp_valid[kf]),
         kf_has_lm=jnp.asarray(kp_lm[:K] >= 0),
-        lm_desc=lmap.desc,
+        kf_R=jnp.asarray(slam_map.kf_R[kf]),
+        kf_t=jnp.asarray(slam_map.kf_t[kf]),
+        lm_desc=lmap.desc, lm_X=lmap.X, lm_valid=lmap.valid,
         lm_last=jnp.zeros(Kl, jnp.int32),
+        lm_gen=jnp.zeros(Kl, jnp.int32),
+        win_R=jnp.asarray(win_R), win_t=jnp.asarray(win_t),
+        win_valid=jnp.asarray(win_valid), win_fid=jnp.asarray(win_fid),
+        win_n=jnp.int32(len(slots)),
+        obs_x=jnp.asarray(obs_x), obs_ok=jnp.asarray(obs_ok),
+        ba_cost=jnp.float32(-1.0),
+        db_n=db_n_dev,
         db_g=db[0], db_desc=db[1], db_yx=db[2], db_lmw=db[3],
         db_haslm=db[4], db_R=db[5], db_t=db[6])
     return persist, ids, db_n
@@ -604,7 +811,8 @@ def db_append_host(persist: EnginePersist, n, g, desc, yx, lmw, haslm,
         db_lmw=persist.db_lmw.at[n].set(lmw, mode="drop"),
         db_haslm=persist.db_haslm.at[n].set(haslm, mode="drop"),
         db_R=persist.db_R.at[n].set(R, mode="drop"),
-        db_t=persist.db_t.at[n].set(t, mode="drop"))
+        db_t=persist.db_t.at[n].set(t, mode="drop"),
+        db_n=jnp.maximum(persist.db_n, n + 1))
 
 
 @functools.lru_cache(maxsize=32)
@@ -617,6 +825,6 @@ def engine_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
         "relocalize": jax.jit(
             lambda persist, db_n, feats, intr: engine_relocalize(
                 persist, db_n, feats, intr, cfg)),
-        "db_correct": jax.jit(apply_db_correction),
+        "db_correct": jax.jit(apply_correction),
         "db_append": jax.jit(db_append_host),
     }

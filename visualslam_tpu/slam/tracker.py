@@ -135,6 +135,10 @@ class Tracker:
         self.init_depth = init_depth
         self.run_ba = run_ba
         self.mesh = mesh
+        # landmark pool decoupled from the BA padded shapes (ADVICE r4):
+        # the live pool must absorb feature-rich scenes without recycling
+        # still-observed slots; BA problems compact to their own capacity
+        self.map_landmarks = max(cfg.map_landmarks, cfg.ba.max_landmarks)
         if loop_closure is None:
             loop_closure = cfg.loop.enabled
         self.loop_closer = None
@@ -151,7 +155,7 @@ class Tracker:
         self.num_loop_closures = 0
         feat_cap = (cfg.sift.max_keypoints if cfg.frontend == "sift"
                     else cfg.orb.max_keypoints)
-        self.map = SlamMap(cfg.ba.max_cameras, cfg.ba.max_landmarks, feat_cap)
+        self.map = SlamMap(cfg.ba.max_cameras, self.map_landmarks, feat_cap)
         self.frames: list[FrameResult] = []
         self._prev_feats: Optional[Features] = None
         self._frames_since_kf = 0
@@ -196,8 +200,12 @@ class Tracker:
         self._eng_persist = None     # EnginePersist (device pytree)
         self._eng_ids = None         # [Kl] map landmark slot per engine slot
         self._eng_uids = None        # [Kl] landmark uid at association time
+        self._eng_gen = None         # [Kl] mirror of the device lm_gen
         self._eng_db_n = 0           # loop-database entries in the ring
         self._eng_ready = False      # device state in sync with host map
+        # lag-1 pipelined stream state (process_stream): the in-flight
+        # batch whose packed telemetry has not been harvested yet
+        self._inflight = None        # (packed_dev, feats_b, first_fid, i0, B)
         # optional utils.profiling.StageTimer — set by benchmarks/CLI to
         # attribute wall time to pipeline stages (readbacks absorb device
         # time; dispatch stages measure host dispatch cost only)
@@ -305,6 +313,88 @@ class Tracker:
         return results
 
     # ------------------------------------------------------------------
+    # lag-1 pipelined streaming (the throughput path)
+    # ------------------------------------------------------------------
+
+    def process_stream(self, imgs: np.ndarray, first_frame_id: int):
+        """Pipelined batch processing: dispatch THIS batch's frontend +
+        engine program, then harvest the PREVIOUS batch's telemetry — the
+        packed readback's round-trip latency hides behind a full batch of
+        device compute (engine state chains device-to-device, so the next
+        batch never waits for the host). Call `finish()` after the last
+        batch to harvest the tail.
+
+        Returns the FrameResults committed by THIS call (usually the
+        previous batch's frames — committed results also accumulate in
+        `self.frames`). Falls back to synchronous processing while the
+        engine isn't active (bootstrap, two-view init, recovery)."""
+        out: list[FrameResult] = []
+        if (not self.engine or not self.map.kf_order
+                or not self.map.lm_valid.any()):
+            out.extend(self.finish())
+            out.extend(self.process_batch(imgs, first_frame_id))
+            return out
+        B = imgs.shape[0]
+        with self._stage("frontend_dispatch"):
+            feats_b = self.detect_batch(imgs)
+        # the engine program for this batch is dispatched BEFORE the
+        # previous batch's telemetry is consumed — safe because nothing in
+        # EngineDyn depends on it (kill lists simply land one batch late)
+        prev = self._inflight
+        self._inflight = self._engine_dispatch(feats_b, first_frame_id,
+                                               0, B)
+        if prev is not None:
+            out.extend(self._harvest_inflight(prev))
+        return out
+
+    def finish(self) -> list:
+        """Harvest any in-flight pipelined batch (call after the last
+        process_stream, and before reading trajectories/maps)."""
+        inflight, self._inflight = self._inflight, None
+        if inflight is None:
+            return []
+        return self._harvest_inflight(inflight)
+
+    def _harvest_inflight(self, inflight) -> list:
+        """Harvest a dispatched batch. If the harvest aborts mid-batch
+        (sustained tracking loss -> recovery), any batch dispatched AFTER
+        it speculated from a lost state: discard its device results and
+        re-track its frames through the synchronous path (detection is
+        reused — the feats handle is still on device)."""
+        packed_dev, feats_b, first_fid, i0, B = inflight
+        results, nxt = self._engine_harvest(inflight)
+        if nxt < B:
+            # recovery happened inside this batch: the speculative next
+            # batch (if any) ran on a corrupt state — reprocess both tails
+            # synchronously (rare; costs one exposed round trip)
+            spec, self._inflight = self._inflight, None
+            res2 = self.process_batch_features(feats_b, first_fid, nxt, B)
+            results.extend(res2)
+            if spec is not None:
+                _, feats_s, fid_s, _, Bs = spec
+                results.extend(
+                    self.process_batch_features(feats_s, fid_s, 0, Bs))
+        return results
+
+    def process_batch_features(self, feats_b, first_fid: int, i0: int,
+                               B: int) -> list:
+        """Synchronously track frames [i0, B) of an already-detected batch
+        (bootstrap/init/recovery handled per frame, engine re-entered once
+        the map is live)."""
+        results: list[FrameResult] = []
+        i = i0
+        while i < B:
+            if (self.engine and self.map.kf_order
+                    and self.map.lm_valid.any()):
+                out, i = self._engine_run(feats_b, first_fid, i, B)
+                results.extend(out)
+                continue
+            results.append(self.process_features(
+                self.features_at(feats_b, i), first_fid + i))
+            i += 1
+        return results
+
+    # ------------------------------------------------------------------
     # device-resident engine (slam/engine.py)
     # ------------------------------------------------------------------
 
@@ -317,57 +407,43 @@ class Tracker:
 
         entries = self.loop_closer.entries if self.loop_closer else None
         persist, ids, db_n = build_persist_from_host(
-            self.map, self.cfg, db_entries=entries,
-            old_persist=self._eng_persist)
+            self.map, self.cfg, self._last_R, self._last_t, self._vel,
+            self._frames_since_kf, db_entries=entries,
+            old_persist=self._eng_persist, db_count=self._eng_db_n)
         self._eng_persist = persist
         self._eng_ids = ids.astype(np.int64)
         g = np.maximum(ids, 0)
         self._eng_uids = np.where(ids >= 0, self.map.lm_uid[g], -1)
+        self._eng_gen = np.zeros(len(ids), np.int64)
         if db_n is not None:
             self._eng_db_n = db_n
         self._eng_ready = True
 
     def _engine_dyn(self, start_i: int, first_fid: int):
-        """Per-batch host->device inputs: pose state, post-BA keyframe pose,
-        and the local-map window truth (positions + membership) resolved
-        through the slot->landmark mirror."""
+        """Per-batch host->device upload: frame counters + the (usually
+        empty) kill list for engine slots whose host landmark was recycled
+        or invalidated since the last batch. Everything else — pose state,
+        window, local map, loop database — chains device-to-device in
+        EnginePersist."""
         from visualslam_tpu.slam.engine import EngineDyn
 
         ids = self._eng_ids
-        ok = ids >= 0
         g = np.maximum(ids, 0)
-        ok &= self.map.lm_valid[g] & (self.map.lm_uid[g] == self._eng_uids)
-        ids[~ok] = -1
-        self._eng_uids[~ok] = -1
-        X = np.zeros((len(ids), 3), np.float32)
-        X[ok] = self.map.X[g[ok]]
-        last = self.map.last_keyframe_slot()
+        stale = (ids >= 0) & ~(self.map.lm_valid[g]
+                               & (self.map.lm_uid[g] == self._eng_uids))
+        kill_gen = np.where(stale, self._eng_gen, -1).astype(np.int32)
+        ids[stale] = -1
+        self._eng_uids[stale] = -1
         return EngineDyn(
-            R=jnp.asarray(self._last_R), t=jnp.asarray(self._last_t),
-            vel=jnp.asarray(self._vel),
-            kf_R=jnp.asarray(self.map.kf_R[last]),
-            kf_t=jnp.asarray(self.map.kf_t[last]),
-            lm_X=jnp.asarray(X), lm_valid=jnp.asarray(ok),
-            since_kf=jnp.int32(self._frames_since_kf),
             frame_base=jnp.int32(first_fid),
-            db_n=jnp.int32(self._eng_db_n),
-            start=jnp.int32(start_i))
+            start=jnp.int32(start_i),
+            kill=jnp.asarray(stale),
+            kill_gen=jnp.asarray(kill_gen))
 
-    def _engine_run(self, feats_b, first_fid: int, i0: int, B: int):
-        """Track frames [i0, B) of a detected batch with the device engine:
-        ONE dispatch + ONE packed readback for the whole span, promotions
-        included. Returns (FrameResults, next index) — next < B only when a
-        sustained tracking loss forced a mid-batch recovery."""
-        from visualslam_tpu.slam.engine import decode_packed, decode_loop_row
-
-        # wait=True: a whole batch of frontend+track compute has overlapped
-        # the async BA since its dispatch, so this almost never blocks on
-        # TPU — but wait=False would silently skip the writeback whenever
-        # the solver lagged (measured on CPU: the window then rides
-        # unrefined landmarks for several batches and turning-trajectory
-        # ATE doubles)
-        with self._stage("ba_flush"):
-            self._flush_pending_ba(wait=True)
+    def _engine_dispatch(self, feats_b, first_fid: int, i0: int, B: int):
+        """Dispatch the whole-batch engine program (async) and start the
+        device->host copy of its packed telemetry. Returns the in-flight
+        record for _engine_harvest."""
         if not self._eng_ready:
             self._engine_enter()
         with self._stage("engine_dyn"):
@@ -376,12 +452,33 @@ class Tracker:
             packed_dev, persist = self._eng_progs["batch"](
                 self._eng_persist, dyn, feats_b, self.intr)
         self._eng_persist = persist
+        try:
+            # prepay the readback: the relay streams the buffer back as
+            # soon as the program finishes, so a lag-1 np.asarray is ~free
+            packed_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (packed_dev, feats_b, first_fid, i0, B)
+
+    def _engine_harvest(self, inflight):
+        """Consume one dispatched batch's telemetry: decode stats +
+        promotion records, mirror the post-BA window poses and landmark
+        positions into the host map, drive loop-closure pose graphs, and
+        handle tracking-loss recovery. Returns (FrameResults, next index)
+        — next < B only when a sustained loss forced a mid-batch
+        recovery."""
+        from visualslam_tpu.slam.engine import decode_packed
+
+        packed_dev, feats_b, first_fid, i0, B = inflight
         with self._stage("engine_readback"):
             packed = np.asarray(packed_dev)
         M = self.cfg.match.max_matches
         P = max(1, -(-B // max(1, self.cfg.keyframe_min_gap)))
+        W = self.cfg.ba.max_cameras
+        Kl = self.cfg.local_map_size
         with self._stage("decode"):
-            stats, recs, _ = decode_packed(packed, B, M, P)
+            stats, recs, db_n_dev, tail = decode_packed(
+                packed, B, M, P, W, Kl)
             rec_by_frame = {r.frame: r for r in recs}
 
         results: list[FrameResult] = []
@@ -403,7 +500,7 @@ class Tracker:
                 if self._lost_streak > self.max_lost_frames:
                     # commit what was applied, then host-driven recovery;
                     # device db entries past the applied count are dropped
-                    # (the ring reuses their slots on the next promotion)
+                    # (the re-enter reseeds the ring write index)
                     self._eng_db_n += n_applied
                     from_db = self._recover(
                         self.features_at(feats_b, j), fid)
@@ -429,21 +526,42 @@ class Tracker:
                 results.append(self._store_result(
                     fid, R, t, num_matches=n_match, num_inliers=n_inl,
                     is_keyframe=False, tracking_ok=ok))
-        self._eng_db_n += n_applied
-
-        # batch-boundary backend work: ONE (async) window BA dispatch, and
-        # the pose graph only when a verified loop edge came back. The
-        # LM-iteration budget scales with the promotions folded into this
-        # batch so the total refinement matches the host path's
-        # one-BA-per-keyframe cadence (one batch-level solve at base
-        # iterations measurably under-refines turning trajectories).
-        if recs and self.run_ba:
-            with self._stage("window_ba"):
-                self._run_window_ba(iters_scale=min(n_applied, 3))
+        self._eng_db_n = db_n_dev
+        with self._stage("tail_apply"):
+            self._engine_apply_tail(tail)
         if loop_hits:
             with self._stage("loop_optimize"):
                 self._engine_apply_loops()
         return results, B
+
+    def _engine_run(self, feats_b, first_fid: int, i0: int, B: int):
+        """Synchronous dispatch + harvest (the non-pipelined path)."""
+        return self._engine_harvest(
+            self._engine_dispatch(feats_b, first_fid, i0, B))
+
+    def _engine_apply_tail(self, tail) -> None:
+        """Mirror the engine's post-BA state into the host map: window
+        keyframe poses (matched by frame id) and landmark positions
+        (matched through the slot mirror + uid check). The host map is a
+        lag-1 replica — global BA, the loop-closure pose graph, and
+        checkpoints read it; tracking itself never does."""
+        fid_to_slot = {int(self.map.kf_frame_id[s]): s
+                       for s in self.map.kf_order}
+        for w in range(len(tail.win_valid)):
+            if not tail.win_valid[w]:
+                continue
+            s = fid_to_slot.get(int(tail.win_fid[w]))
+            if s is not None:
+                self.map.kf_R[s] = tail.win_R[w]
+                self.map.kf_t[s] = tail.win_t[w]
+        ids = self._eng_ids
+        g = np.maximum(ids, 0)
+        ok = ((ids >= 0) & tail.lm_valid[:len(ids)]
+              & self.map.lm_valid[g]
+              & (self.map.lm_uid[g] == self._eng_uids))
+        self.map.X[g[ok]] = tail.lm_X[:len(ids)][ok]
+        if tail.ba_cost >= 0:
+            self.last_ba_cost = tail.ba_cost
 
     def _engine_apply_prom(self, rec, fid: int, R, t):
         """Fold one device promotion record into the host map: keyframe
@@ -477,6 +595,10 @@ class Tracker:
             ts = rec.tri_slot[good]
             ids[ts] = lm_idx
             self._eng_uids[ts] = self.map.lm_uid[lm_idx]
+            # replay the device's allocation-generation increments so the
+            # host mirror stays aligned with persist.lm_gen (kill lists and
+            # telemetry writebacks are gated on generation equality)
+            self._eng_gen[ts] += 1
 
         if self.loop_closer is None:
             return None
@@ -497,13 +619,15 @@ class Tracker:
 
     def _engine_apply_loops(self) -> None:
         """Pose-graph optimization for loop edges accepted this batch, then
-        correction of the host window (poses + landmarks) and of the device
-        database (entry poses + landmark snapshots)."""
+        correction of the host window (poses + landmarks), of the device
+        database (entry poses + landmark snapshots), and of the device LIVE
+        state (local map, window ring, pose state) — all via one device
+        program, no re-enter."""
         lc = self.loop_closer
         lc.optimize()
-        self._apply_loop_correction(self.map.last_keyframe_slot(),
-                                    len(lc.entries) - 1)
-        # propagate into the device database ring
+        db_idx = len(lc.entries) - 1
+        self._apply_loop_correction(self.map.last_keyframe_slot(), db_idx)
+        # propagate into the device database ring + live state
         n = min(len(lc.entries), self._eng_persist.db_g.shape[0])
         CAP = self._eng_persist.db_g.shape[0]
         Rg = np.tile(np.eye(3, dtype=np.float32), (CAP, 1, 1))
@@ -514,10 +638,18 @@ class Tracker:
         for k in range(n):
             Rg[k], tg[k], sg[k] = lc.last_corrections[k]
             Rc[k], tc[k] = lc.corrected[k]
+        # the live state moves by the LATEST keyframe's world correction
+        if lc.last_corrections is not None and db_idx < len(
+                lc.last_corrections):
+            Rl, tl, sl = lc.last_corrections[db_idx]
+        else:
+            Rl, tl, sl = np.eye(3, dtype=np.float32), np.zeros(
+                3, np.float32), 1.0
         self._eng_persist = self._eng_progs["db_correct"](
             self._eng_persist, jnp.asarray(Rg), jnp.asarray(tg),
             jnp.asarray(sg), jnp.asarray(Rc), jnp.asarray(tc),
-            jnp.int32(n))
+            jnp.int32(n), jnp.asarray(Rl, jnp.float32),
+            jnp.asarray(tl, jnp.float32), jnp.float32(sl))
 
     def _engine_append_host_entry(self, entry) -> None:
         """Mirror a host-path loop-database entry (e.g. the two-view-init
@@ -809,7 +941,7 @@ class Tracker:
                     if self.cfg.frontend == "sift"
                     else self.cfg.orb.max_keypoints)
         self.map = SlamMap(self.cfg.ba.max_cameras,
-                           self.cfg.ba.max_landmarks, feat_cap)
+                           self.map_landmarks, feat_cap)
         self._vel = np.zeros(6, np.float32)
         self._new_keyframe(feats, frame_id, self._last_R, self._last_t)
         self._kf_ref = None     # stale until the next two-view init succeeds

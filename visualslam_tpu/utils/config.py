@@ -141,7 +141,7 @@ class SiftConfig(_Base):
     #                                     (force that kernel) | "pallas"
     #                                     (score-only kernel + separate
     #                                     top-k; the losing A/B arm) |
-    #                                     "xla" (ops/pallas/extrema.py)
+    #                                     "xla" (ops/extrema.py)
     patch_impl: str = "auto"            # "auto" (DEFAULT: the fused Pallas
     #                                     kernels on TPU, the XLA path on
     #                                     CPU where Pallas only has the
@@ -301,6 +301,11 @@ class SlamConfig(_Base):
     #                                     every-frame churn that evicts the
     #                                     window before landmarks mature)
     local_map_size: int = 1024          # covisible landmarks tracked per frame
+    map_landmarks: int = 16384          # host landmark-pool capacity —
+    #                                     decoupled from ba.max_landmarks
+    #                                     (the BA padded shapes) so feature-
+    #                                     rich scenes can't force the pool
+    #                                     to recycle still-observed slots
     track_gate: float = 0.05            # local-map match gate: max distance
     #                                     between predicted projection and
     #                                     keypoint (normalized-plane units)
