@@ -67,6 +67,29 @@ def main() -> None:
         "pallas extrema score mismatch"
     out["pallas_extrema"] = "ok"
 
+    # ---- 1b2. DEFAULT fused extrema+candidate-select kernel on chip ---
+    # (VERDICT r4 item 7: the fused kernel is the TPU default but only the
+    # losing score-only arm had an explicit on-chip numeric check). The
+    # fused reduce keeps at most one extremum per (tile_h x 1 x 1) region,
+    # so assert no-fabrication + exact scores + sane coverage, not set
+    # equality.
+    from visualslam_tpu.ops.pallas.extrema import pallas_extrema_candidates
+
+    lvl_f, y_f, x_f, sc_f, sel_f = (np.asarray(v) for v in
+                                    pallas_extrema_candidates(dog, th, 256))
+    n_sel = int(sel_f.sum())
+    dog_np = np.asarray(dog)
+    assert n_sel > 0, "fused extrema selected nothing"
+    for L, Y, X, S in zip(lvl_f[sel_f], y_f[sel_f], x_f[sel_f],
+                          sc_f[sel_f]):
+        assert m_xla[L, Y, X], f"fused fabricated non-extremum {(L, Y, X)}"
+        assert abs(S - abs(dog_np[L, Y, X])) < 1e-5, "fused score wrong"
+    # the region reduce may drop vertically stacked extrema, but must keep
+    # a solid fraction of the dense-mask candidates at this density
+    assert n_sel >= 0.5 * min(256, int(m_xla.sum())), \
+        f"fused kept only {n_sel} of {int(m_xla.sum())} extrema"
+    out["pallas_extrema_fused"] = f"ok ({n_sel} candidates)"
+
     # ---- 1c. fused orientation/descriptor kernels vs XLA stages ------
     from visualslam_tpu.ops.histograms import gaussian_window, soft_histogram
     from visualslam_tpu.ops.pallas.descriptor import (
