@@ -93,6 +93,7 @@ def main(argv=None) -> None:
     warm.process_batch(wf[:8], 0)
     warm.process_stream(wf[8:24], 8)
     warm.finish()
+    warm.prewarm_aux()      # pose graph / db-correct / relocalize programs
     del warm
 
     tracker = Tracker(cfg, info.intrinsics)

@@ -96,8 +96,11 @@ def cmd_run(args) -> None:
             # the prewarmed programs are the ones the run actually uses
             wf = np.clip(wf * 255.0, 0, 255).astype(np.uint8)
         warm = Tracker(cfg, warm_seq.info().intrinsics)
-        for k in range(0, 3 * B, B):
-            warm.process_batch(wf[k:k + B], k)
+        warm.process_batch(wf[:B], 0)
+        for k in range(B, 3 * B, B):
+            warm.process_stream(wf[k:k + B], k)
+        warm.finish()
+        warm.prewarm_aux()  # pose graph / db-correct / relocalize programs
         del warm
         print(f"prewarm (compile + warmup world): "
               f"{time.perf_counter() - t_w:.1f}s")

@@ -70,8 +70,10 @@ from visualslam_tpu.slam.track_step import (
 from visualslam_tpu.utils.config import SlamConfig
 
 NC = 3          # loop retrieval candidates verified per promotion
-LOOP_REC = 18   # per-candidate verify record:
-#                 [cand, sim, usable, inl, R(9), t(3), scale, nboth]
+LOOP_REC = 22   # per-candidate verify record:
+#                 [cand, sim, usable, inl, R(9), t(3), scale, nboth,
+#                  recip_inl, rot_consist_deg, trans_consist,
+#                  baseline_frac]
 HDR = 8         # promotion record header floats
 
 
@@ -127,6 +129,11 @@ class EngineDyn(NamedTuple):
 
     frame_base: jnp.ndarray  # [] int32 global index of batch frame 0
     start: jnp.ndarray       # [] int32 first active frame in the batch
+    stop: jnp.ndarray        # [] int32 first INACTIVE frame (tail batches
+    #                          are padded to the compiled batch size so the
+    #                          program never recompiles for a short tail —
+    #                          a 12-frame remainder cost a fresh ~60 s
+    #                          engine compile inside the timed wall)
     kill: jnp.ndarray        # [Kl] bool host-invalidated slots
     kill_gen: jnp.ndarray    # [Kl] int32 generation the kill refers to
 
@@ -188,21 +195,63 @@ def _window_ba(p: EnginePersist, cfg: SlamConfig):
         uv=p.obs_x.reshape(-1, 2), obs_valid=ov,
         cam_valid=p.win_valid, lm_valid=lm_ba)
     # fix_first_camera anchors window index 0 — the OLDEST keyframe (the
-    # ring is left-aligned), matching the host solver's gauge
-    res = run_ba(prob, cfg.ba)
-    X = jnp.where(lm_ba[:, None], res.X, p.lm_X)
-    return res.R, res.t, X, res.cost
+    # ring is left-aligned), matching the host solver's gauge. The window
+    # is always small (W = ba.max_cameras <= ~16): the dense Schur solve
+    # is optimal here even when the config selects the matrix-free solver
+    # for sequence-scale problems (global BA re-derives its own).
+    ba_cfg = (cfg.ba.replace(solver="schur_dense")
+              if cfg.ba.solver == "schur_mf" else cfg.ba)
+    res = run_ba(prob, ba_cfg)
+    R_n, t_n, X_n = res.R, res.t, res.X
+    if cfg.ba.fix_gauge_scale:
+        # Monocular BA leaves the 7th gauge DoF (global scale) free: with
+        # only camera 0 fixed, every solve can slide the window along the
+        # scale direction by overfitting reprojection noise — one random
+        # step PER PROMOTION, compounding into trajectory-scale drift
+        # (measured: dolly-60 ATE doubles from iters=10 to iters=20
+        # without this). Re-anchor by a similarity about camera 0's
+        # center choosing s so the baseline to the newest valid camera
+        # keeps its pre-solve length.
+        last = jnp.clip(jnp.minimum(p.win_n, W) - 1, 0, W - 1)
+
+        def center(R, t):
+            return -jnp.einsum("...ji,...j->...i", R, t)
+
+        c0 = center(R_n[0], t_n[0])
+        d_old = jnp.linalg.norm(center(p.win_R[last], p.win_t[last])
+                                - center(p.win_R[0], p.win_t[0]))
+        d_new = jnp.linalg.norm(center(R_n[last], t_n[last]) - c0)
+        s = jnp.where((d_new > 1e-8) & (d_old > 1e-8), d_old / d_new, 1.0)
+        s = jnp.clip(s, 0.5, 2.0)
+        c_all = center(R_n, t_n)                   # [W, 3]
+        c_scaled = c0 + s * (c_all - c0)
+        t_n = -jnp.einsum("wij,wj->wi", R_n, c_scaled)
+        X_n = c0 + s * (X_n - c0)
+    X = jnp.where(lm_ba[:, None], X_n, p.lm_X)
+    return R_n, t_n, X, res.cost
 
 
 def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
                       b_desc, b_yx, b_haslm, b_lmw, b_R, b_t,
-                      intr, sub_cfg, estimate_scale: bool):
+                      intr, sub_cfg, estimate_scale: bool,
+                      a_R=None, a_t=None):
     """Geometric loop verification, fully traced: descriptor match +
     motion-only PnP of the candidate camera against the current keyframe's
     landmark snapshot (metric scale preserved — sidesteps the essential
     matrix's scale ambiguity), plus the Sim(3) relative-scale estimate
     (median pairwise-distance ratio over landmark pairs with 3D in BOTH
-    keyframes, mirroring slam/loop_closure._edge_from_packed)."""
+    keyframes, mirroring slam/loop_closure._edge_from_packed).
+
+    With (a_R, a_t) — the current keyframe's pose — the verification is
+    MUTUAL: the current camera is also PnP'd against the CANDIDATE's
+    landmark snapshot (in the candidate era's frame/metric), and the two
+    independently measured relative poses are compared. Single-sided PnP
+    on far landmarks has a depth-ambiguous failure mode: a pose shifted
+    along the viewing ray keeps tens of "inliers" while being meters off
+    (measured on the KITTI-scale world: an accepted edge whose relative
+    translation had the WRONG SIGN along z, ATE 19 m after the pose graph
+    trusted it). The wrong local minimum is not mirrored consistently by
+    the reciprocal solve, so the consistency angles expose it."""
     ks = a_desc.shape[0]
     ones = jnp.ones(ks, bool)
     fa = Features(Keypoints.empty(ks)._replace(yx=a_yx, valid=ones), a_desc)
@@ -211,7 +260,63 @@ def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
     usable = m.valid & a_haslm[m.idx_a]
     X = a_lmw[m.idx_a]
     x_b = normalized(b_yx[m.idx_b][:, ::-1], intr)
-    pr = refine_pose(b_R, b_t, X, x_b, usable)
+    # coarse-to-fine: the init (the entry's stored pose) carries the full
+    # era drift, so residuals start ~20x the fine Huber delta and the
+    # robust weights crush the gradient — 10 fine iterations stopped with
+    # 10-20 deg of rotation error that the pose graph then amplified into
+    # multi-meter trajectory warps. A wide-delta stage first pulls the
+    # pose into the fine stage's convergence basin.
+    pr0 = refine_pose(b_R, b_t, X, x_b, usable, iters=12,
+                      huber_delta=5e-2)
+    pr = refine_pose(pr0.R, pr0.t, X, x_b, usable, iters=15)
+
+    recip_inl = jnp.float32(0.0)
+    rot_consist = jnp.float32(0.0)
+    trans_consist = jnp.float32(0.0)
+    baseline_frac = jnp.float32(0.0)
+    if a_R is not None:
+        usable_b = m.valid & b_haslm[m.idx_b]
+        Xb = b_lmw[m.idx_b]
+        x_a = normalized(a_yx[m.idx_a][:, ::-1], intr)
+        # the current camera in the candidate era's frame, initialized at
+        # the candidate's pose (the views overlap, so it is a good seed);
+        # same coarse-to-fine schedule as the forward solve
+        pr20 = refine_pose(b_R, b_t, Xb, x_a, usable_b, iters=12,
+                           huber_delta=5e-2)
+        pr2 = refine_pose(pr20.R, pr20.t, Xb, x_a, usable_b, iters=15)
+        recip_inl = pr2.num_inliers.astype(jnp.float32)
+        # relative rotation cam_b -> cam_a measured in both frames must
+        # agree (relative rotations are world-frame invariant)
+        rel_cur = a_R @ pr.R.T
+        rel_old = pr2.R @ b_R.T
+        cosang = (jnp.trace(rel_cur.T @ rel_old) - 1.0) / 2.0
+        rot_consist = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        # relative-translation agreement, expressed in cam b's own frame
+        # and NORMALIZED BY SCENE DEPTH — an angular direction check is
+        # pure noise at a true revisit (near-zero baseline), while the
+        # depth-normalized error is exactly the parallax the disagreement
+        # would induce
+        c_a1 = -a_R.T @ a_t
+        c_b1 = -pr.R.T @ pr.t
+        c_a2 = -pr2.R.T @ pr2.t
+        c_b2 = -b_R.T @ b_t
+        u1 = pr.R @ (c_a1 - c_b1)
+        u2 = b_R @ (c_a2 - c_b2)
+        z = (X @ pr.R.T)[:, 2] + pr.t[2]
+        zs = jnp.sort(jnp.where(usable, z, jnp.inf))
+        n_us = jnp.sum(usable.astype(jnp.int32))
+        med_z = zs[jnp.maximum(n_us - 1, 0) // 2]
+        med_z = jnp.where((n_us > 0) & (med_z > 1e-3), med_z, 1e9)
+        trans_consist = jnp.linalg.norm(u1 - u2) / med_z
+        # baseline relative to scene depth: shared-landmark PnP degrades
+        # sharply past ~0.2 — corridor-overlap matches at 0.3-0.6 produced
+        # edges whose error exceeded the drift they "corrected". Take the
+        # MAX of the measured and the odometry-believed separation: a
+        # broken measurement under-reports its own baseline (observed: a
+        # 5.6-unit-true edge claiming 2.6), but it cannot fake odometry.
+        baseline_frac = jnp.maximum(
+            jnp.linalg.norm(c_a1 - c_b1),
+            jnp.linalg.norm(c_a1 - c_b2)) / med_z
 
     scale = jnp.float32(1.0)
     nboth = jnp.int32(0)
@@ -230,9 +335,21 @@ def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
         ratio = db / jnp.maximum(da, 1e-6)
         vals = jnp.sort(jnp.where(pair_ok, ratio, jnp.inf).reshape(-1))
         n_ok = jnp.sum(pair_ok.astype(jnp.int32))
-        med = vals[jnp.maximum(n_ok - 1, 0) // 2]          # lower median
+        nmax = jnp.maximum(n_ok - 1, 0)
+        med = vals[nmax // 2]                              # lower median
+        q1 = vals[nmax // 4]
+        q3 = vals[(3 * nmax) // 4]
         nboth = jnp.sum(ok.astype(jnp.int32))
-        scale = jnp.where(n_ok >= 10,
+        # the estimator must VALIDATE itself: triangulation depth noise on
+        # far landmarks makes pairwise-distance ratios junk (measured
+        # 0.87/1.29 on edges whose true era-scale ratio was 1.10/0.93,
+        # and a spurious 13% scale gradient through the Sim(3) graph warps
+        # a deep trajectory by meters). Trust the median only with strong
+        # support AND a tight inter-quartile spread — close-range
+        # snapshots (where scale drift is actually measurable) pass, far-
+        # field corridor matches snap to SE(3).
+        spread_ok = (q3 - q1) <= 0.1 * jnp.maximum(med, 1e-6)
+        scale = jnp.where((n_ok >= 45) & (nboth >= 10) & spread_ok,
                           jnp.clip(med, 0.2, 5.0), jnp.float32(1.0))
 
     f32 = jnp.float32
@@ -240,8 +357,9 @@ def _verify_candidate(a_desc, a_yx, a_haslm, a_lmw,
         jnp.stack([jnp.sum(usable.astype(f32)),
                    pr.num_inliers.astype(f32)]),
         pr.R.reshape(-1), pr.t,
-        jnp.stack([scale, nboth.astype(f32)]),
-    ])                                                     # [15]
+        jnp.stack([scale, nboth.astype(f32),
+                   recip_inl, rot_consist, trans_consist, baseline_frac]),
+    ])                                                     # [19]
 
 
 def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
@@ -377,7 +495,8 @@ def _promote(c: _Carry, feats: Features, lite, i, fctr, intr,
         lambda ci: _verify_candidate(
             sub_desc, sub_yx, sub_haslm, sub_lmw,
             p.db_desc[ci], p.db_yx[ci], p.db_haslm[ci], p.db_lmw[ci],
-            p.db_R[ci], p.db_t[ci], intr, sub_cfg, cfg.loop.sim3))(cand)
+            p.db_R[ci], p.db_t[ci], intr, sub_cfg, cfg.loop.sim3,
+            a_R=R_cur, a_t=t_cur))(cand)
     loop_pack = jnp.concatenate([
         cand.astype(jnp.float32)[:, None], top_sims[:, None], ver,
     ], axis=1)                                             # [NC, LOOP_REC]
@@ -446,7 +565,7 @@ def run_engine_batch(persist: EnginePersist, dyn: EngineDyn,
     def step(c: _Carry, i):
         p = c.p
         feats = index_features(feats_b, i)
-        active = i >= dyn.start
+        active = (i >= dyn.start) & (i < dyn.stop)
         lmap = LocalMap(desc=p.lm_desc, X=p.lm_X, valid=p.lm_valid)
         lite = track_step_lite(lmap, feats, TrackState(p.R, p.t, p.vel),
                                intr, cfg, ok_min)
@@ -666,12 +785,49 @@ def decode_packed(packed: np.ndarray, B: int, M: int, P: int,
     return stats, recs, db_n, tail
 
 
-def decode_loop_row(row: np.ndarray):
-    """One loop verify row -> (cand, sim, n_usable, n_inl, R, t, scale,
-    n_both)."""
-    return (int(row[0]), float(row[1]), int(row[2]), int(row[3]),
-            row[4:13].reshape(3, 3).astype(np.float32),
-            row[13:16].astype(np.float32), float(row[16]), int(row[17]))
+class LoopRow(NamedTuple):
+    """Host-decoded loop verify row."""
+
+    cand: int
+    sim: float
+    n_usable: int
+    n_inl: int
+    R: np.ndarray
+    t: np.ndarray
+    scale: float
+    n_both: int
+    recip_inl: int           # reciprocal-PnP inliers (0 on one-sided runs)
+    rot_consist_deg: float   # relative-rotation agreement of the two PnPs
+    trans_consist: float     # translation disagreement / median scene depth
+    baseline_frac: float     # measured baseline / median scene depth
+
+
+def decode_loop_row(row: np.ndarray) -> LoopRow:
+    return LoopRow(
+        int(row[0]), float(row[1]), int(row[2]), int(row[3]),
+        row[4:13].reshape(3, 3).astype(np.float32),
+        row[13:16].astype(np.float32), float(row[16]), int(row[17]),
+        int(row[18]), float(row[19]), float(row[20]), float(row[21]))
+
+
+def loop_row_accept(r: LoopRow, min_inliers: int, rot_deg: float,
+                    trans_frac: float, baseline_frac: float) -> bool:
+    """Mutual-verification acceptance for an engine loop row: the forward
+    and reciprocal PnPs must independently support the edge (symmetric
+    inlier rule — a true revisit can be landmark-poor on one side), agree
+    geometrically, and come from a genuine revisit (small baseline vs
+    scene depth — wide-baseline shared-landmark PnP degrades into edges
+    whose error exceeds the drift they would correct). Single-sided
+    inlier counts alone accept depth-ambiguous wrong minima (measured: a
+    36-inlier edge whose relative translation had the wrong sign along
+    z)."""
+    lo = max(1, min_inliers // 2)
+    return bool(
+        max(r.n_inl, r.recip_inl) >= min_inliers
+        and min(r.n_inl, r.recip_inl) >= lo
+        and r.rot_consist_deg <= rot_deg
+        and r.trans_consist <= trans_frac
+        and r.baseline_frac <= baseline_frac)
 
 
 def build_persist_from_host(slam_map, cfg: SlamConfig, R, t, vel,

@@ -58,6 +58,10 @@ class LoopEdge:
     t: np.ndarray
     num_inliers: int = 0
     scale: float = 1.0      # relative scale of the measurement (Sim(3) sm)
+    rot_sigma_deg: float = 2.0  # measurement uncertainty estimate (the
+    #                             mutual-PnP rotation disagreement, engine
+    #                             path); drives the information weighting
+    #                             in optimize()
 
 
 @dataclass
@@ -169,7 +173,8 @@ class LoopCloser:
                  cosine_threshold: float = 0.85,
                  min_inliers: int = 25,
                  exclude_recent: int = 10,
-                 use_sim3: bool = False):
+                 use_sim3: bool = False,
+                 max_scale: float = 1.5):
         self.intr = np.asarray(intrinsics, np.float32)
         # entries always store float descriptors (ORB bits get unpacked to
         # {0,1} floats, where L2 == 2x Hamming), so match on L2 regardless
@@ -188,6 +193,13 @@ class LoopCloser:
         self.min_inliers = min_inliers
         self.exclude = exclude_recent
         self.use_sim3 = use_sim3
+        # Sim(3) scale-ratio sanity gate: the pairwise-distance-ratio
+        # estimator is noisy when the snapshots share few 3D landmarks,
+        # and a wrong-scale warp of the live map is far more destructive
+        # than a missing scale correction (measured: a 1.29-scale edge on
+        # the KITTI-scale loop world killed tracking within 3 batches).
+        # Estimates outside [1/max_scale, max_scale] fall back to SE(3).
+        self.max_scale = max_scale
         self.entries: List[KeyframeEntry] = []
         self.loop_edges: List[LoopEdge] = []
         # optimized poses (filled by optimize); None until first loop.
@@ -304,7 +316,8 @@ class LoopCloser:
 
     def add_device_edge(self, i: int, j: int, Rb: np.ndarray,
                         tb: np.ndarray, num_inliers: int,
-                        s_oc: float) -> LoopEdge:
+                        s_oc: float,
+                        rot_sigma_deg: float = 2.0) -> LoopEdge:
         """Accept a loop edge whose geometric verification ran on device
         (engine promotion branch): (Rb, tb) is candidate camera i's pose in
         the CURRENT world frame from PnP against keyframe j's landmarks,
@@ -312,10 +325,13 @@ class LoopCloser:
         same Sim(3) measurement as _edge_from_packed."""
         a = self.entries[j]
         s = float(s_oc) if self.use_sim3 else 1.0
+        if not (1.0 / self.max_scale <= s <= self.max_scale):
+            s = 1.0             # distrust the ratio estimate; keep SE(3)
         Rm, tm, sm = _np_sim3_compose(
             *_np_sim3_inverse(Rb, s * tb, s), a.R, a.t, 1.0)
         edge = LoopEdge(i=i, j=j, R=np.asarray(Rm), t=np.asarray(tm),
-                        num_inliers=num_inliers, scale=float(sm))
+                        num_inliers=num_inliers, scale=float(sm),
+                        rot_sigma_deg=max(0.5, float(rot_sigma_deg)))
         self.loop_edges.append(edge)
         return edge
 
@@ -402,16 +418,26 @@ class LoopCloser:
             both = inl & a.has_lm[ia] & b.has_lm[ib]
             Xa = a.lm_world[ia[both]]
             Xb = b.lm_world[ib[both]]
-            if Xa.shape[0] >= 6:
+            # self-validating estimator (see engine._verify_candidate):
+            # trust the median pairwise ratio only with decent support AND
+            # a tight inter-quartile spread — depth noise on far landmarks
+            # makes the ratios junk, and a spurious Sim(3) scale gradient
+            # warps deep trajectories by meters
+            if Xa.shape[0] >= 10:
                 n = min(Xa.shape[0], 64)
                 da = np.linalg.norm(Xa[:n, None] - Xa[None, :n], axis=-1)
                 db = np.linalg.norm(Xb[:n, None] - Xb[None, :n], axis=-1)
                 iu = np.triu_indices(n, 1)
                 da, db = da[iu], db[iu]
                 ok = (da > 1e-6) & (db > 1e-6)
-                if ok.sum() >= 10:
-                    s_oc = float(np.median(db[ok] / da[ok]))
-                    s_oc = float(np.clip(s_oc, 0.2, 5.0))
+                if ok.sum() >= 45:
+                    r = db[ok] / da[ok]
+                    med = float(np.median(r))
+                    q1, q3 = np.percentile(r, [25, 75])
+                    if (q3 - q1) <= 0.1 * max(med, 1e-6):
+                        s_oc = float(np.clip(med, 0.2, 5.0))
+        if not (1.0 / self.max_scale <= s_oc <= self.max_scale):
+            s_oc = 1.0          # distrust the ratio estimate; keep SE(3)
 
         # Graph convention (backend/pose_graph): measurement = T_i^-1 T_j
         # evaluated at consistent poses. In the current metric,
@@ -526,7 +552,14 @@ class LoopCloser:
             Rm.append(e.R)
             tm.append(e.t)
             sm.append(e.scale)
-            w.append(2.0)
+            # information weighting: the mutual-verification rotation
+            # disagreement estimates the edge's uncertainty; a 7-degree
+            # edge should not be allowed to twist the trajectory through
+            # its full lever arm (measured 12-14 map-unit keyframe moves
+            # from one such edge), while a tight sub-2-degree revisit
+            # keeps full authority
+            info = min(4.0, (2.0 / max(e.rot_sigma_deg, 0.5)) ** 2)
+            w.append(self.pg_cfg.loop_weight * info)
         ne = len(ii)
         if ne > E:   # can't happen with E >= 4N; fail loudly if it ever does
             raise RuntimeError(

@@ -98,6 +98,49 @@ def _shared_programs(cfg: SlamConfig, ok_min: int, max_depth: float):
     }
 
 
+def _transform_telemetry(G, stats, recs, tail):
+    """Move one batch's decoded engine telemetry from the pre-correction
+    world frame into the corrected frame: points X' = s (X @ Rg^T) + tg,
+    world-to-camera poses T' = descale(T . G^-1) — the same Sim(3) the
+    loop correction applied to the host map and the device state
+    (slam/engine.apply_correction)."""
+    Rg, tg, sg = G
+    Rgi = Rg.T
+    tgi = -(Rg.T @ tg) / sg
+    sgi = 1.0 / sg
+
+    def pose(R, t):
+        return R @ Rgi, (R @ tgi + t) / sgi
+
+    def points(X):
+        return sg * (X @ Rg.T) + tg
+
+    stats = stats.copy()
+    for j in range(stats.shape[0]):
+        R, t = pose(stats[j, 4:13].reshape(3, 3), stats[j, 13:16])
+        stats[j, 4:13] = R.reshape(-1)
+        stats[j, 13:16] = t
+    out_recs = []
+    for r in recs:
+        # loop-verify rows carry the candidate camera's ABSOLUTE pose in
+        # the (old) verification frame — add_device_edge composes it with
+        # the corrected entry pose, so it must move frames too
+        loop = r.loop.copy()
+        for c in range(loop.shape[0]):
+            Rv, tv = pose(loop[c, 4:13].reshape(3, 3), loop[c, 13:16])
+            loop[c, 4:13] = Rv.reshape(-1)
+            loop[c, 13:16] = tv
+        out_recs.append(r._replace(tri_X=points(r.tri_X), loop=loop))
+    recs = out_recs
+    win_R = tail.win_R.copy()
+    win_t = tail.win_t.copy()
+    for w in range(win_R.shape[0]):
+        win_R[w], win_t[w] = pose(win_R[w], win_t[w])
+    tail = tail._replace(win_R=win_R, win_t=win_t,
+                         lm_X=points(tail.lm_X))
+    return stats, recs, tail
+
+
 @dataclass
 class FrameResult:
     frame_id: int
@@ -151,8 +194,10 @@ class Tracker:
                 cosine_threshold=cfg.loop.cosine_threshold,
                 min_inliers=cfg.loop.min_inliers,
                 exclude_recent=cfg.loop.exclude_recent,
-                use_sim3=cfg.loop.sim3)
+                use_sim3=cfg.loop.sim3,
+                max_scale=cfg.loop.max_scale)
         self.num_loop_closures = 0
+        self._loop_cooldown_until = -1   # db index gating closure acceptance
         feat_cap = (cfg.sift.max_keypoints if cfg.frontend == "sift"
                     else cfg.orb.max_keypoints)
         self.map = SlamMap(cfg.ba.max_cameras, self.map_landmarks, feat_cap)
@@ -205,7 +250,16 @@ class Tracker:
         self._eng_ready = False      # device state in sync with host map
         # lag-1 pipelined stream state (process_stream): the in-flight
         # batch whose packed telemetry has not been harvested yet
-        self._inflight = None        # (packed_dev, feats_b, first_fid, i0, B)
+        self._inflight = None   # (packed_dev, feats_b, first_fid, i0, B, stop)
+        self._stream_B = None   # compiled stream batch size (tail padding)
+        # world-frame Sim(3) to apply to the NEXT harvest's decoded
+        # telemetry: when a loop correction lands while a speculative
+        # batch is in flight, that batch executed in the PRE-correction
+        # frame (the device program queue corrects right after it, so the
+        # device state is consistent — tracking is similarity-equivariant)
+        # but its decoded poses/points must be moved into the corrected
+        # frame before they touch the host map / loop database
+        self._pending_world_G = None    # (Rg, tg, sg) or None
         # optional utils.profiling.StageTimer — set by benchmarks/CLI to
         # attribute wall time to pipeline stages (readbacks absorb device
         # time; dispatch stages measure host dispatch cost only)
@@ -334,7 +388,17 @@ class Tracker:
             out.extend(self.finish())
             out.extend(self.process_batch(imgs, first_frame_id))
             return out
-        B = imgs.shape[0]
+        n = imgs.shape[0]
+        # pad short tail batches up to the compiled batch size: the engine
+        # program is shape-specialized per B, and a one-off remainder
+        # batch costs a full recompile (~60 s through the relay) inside
+        # the production loop
+        B = max(self._stream_B or 0, n)
+        self._stream_B = B
+        if n < B:
+            imgs = np.asarray(imgs)
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], B - n, axis=0)])
         with self._stage("frontend_dispatch"):
             feats_b = self.detect_batch(imgs)
         # the engine program for this batch is dispatched BEFORE the
@@ -342,7 +406,7 @@ class Tracker:
         # EngineDyn depends on it (kill lists simply land one batch late)
         prev = self._inflight
         self._inflight = self._engine_dispatch(feats_b, first_frame_id,
-                                               0, B)
+                                               0, B, stop=n)
         if prev is not None:
             out.extend(self._harvest_inflight(prev))
         return out
@@ -355,38 +419,62 @@ class Tracker:
             return []
         return self._harvest_inflight(inflight)
 
+    def prewarm_aux(self) -> None:
+        """Compile the rare-event device programs (pose graph + device
+        correction, database relocalization) OUTSIDE any timed loop. The
+        first loop closure / recovery of a run otherwise pays ~30-60 s of
+        compilation mid-sequence. Call on a warmup tracker that has
+        already tracked a few batches (so the engine persist and at least
+        two loop-database entries exist); it corrupts that tracker's
+        state, so only warmup trackers should call it."""
+        lc = self.loop_closer
+        if lc is None or self._eng_persist is None or len(lc.entries) < 2:
+            return
+        lc.add_device_edge(0, len(lc.entries) - 1,
+                           np.eye(3, dtype=np.float32),
+                           np.zeros(3, np.float32), 99, 1.0)
+        self._engine_apply_loops()
+        if self._prev_feats is not None:
+            import jax as _jax
+
+            _jax.block_until_ready(self._eng_progs["relocalize"](
+                self._eng_persist, jnp.int32(max(1, self._eng_db_n)),
+                self._prev_feats, self.intr))
+
     def _harvest_inflight(self, inflight) -> list:
         """Harvest a dispatched batch. If the harvest aborts mid-batch
         (sustained tracking loss -> recovery), any batch dispatched AFTER
         it speculated from a lost state: discard its device results and
         re-track its frames through the synchronous path (detection is
         reused — the feats handle is still on device)."""
-        packed_dev, feats_b, first_fid, i0, B = inflight
+        packed_dev, feats_b, first_fid, i0, B, stop = inflight
         results, nxt = self._engine_harvest(inflight)
-        if nxt < B:
+        if nxt < stop:
             # recovery happened inside this batch: the speculative next
             # batch (if any) ran on a corrupt state — reprocess both tails
             # synchronously (rare; costs one exposed round trip)
             spec, self._inflight = self._inflight, None
-            res2 = self.process_batch_features(feats_b, first_fid, nxt, B)
+            res2 = self.process_batch_features(feats_b, first_fid, nxt,
+                                               stop)
             results.extend(res2)
             if spec is not None:
-                _, feats_s, fid_s, _, Bs = spec
+                _, feats_s, fid_s, _, _, stop_s = spec
                 results.extend(
-                    self.process_batch_features(feats_s, fid_s, 0, Bs))
+                    self.process_batch_features(feats_s, fid_s, 0, stop_s))
         return results
 
     def process_batch_features(self, feats_b, first_fid: int, i0: int,
-                               B: int) -> list:
-        """Synchronously track frames [i0, B) of an already-detected batch
-        (bootstrap/init/recovery handled per frame, engine re-entered once
-        the map is live)."""
+                               stop: int) -> list:
+        """Synchronously track frames [i0, stop) of an already-detected
+        batch (bootstrap/init/recovery handled per frame, engine re-entered
+        once the map is live). The batch may be padded past `stop`."""
+        B = int(feats_b.keypoints.valid.shape[0])
         results: list[FrameResult] = []
         i = i0
-        while i < B:
+        while i < stop:
             if (self.engine and self.map.kf_order
                     and self.map.lm_valid.any()):
-                out, i = self._engine_run(feats_b, first_fid, i, B)
+                out, i = self._engine_run(feats_b, first_fid, i, B, stop)
                 results.extend(out)
                 continue
             results.append(self.process_features(
@@ -419,7 +507,7 @@ class Tracker:
             self._eng_db_n = db_n
         self._eng_ready = True
 
-    def _engine_dyn(self, start_i: int, first_fid: int):
+    def _engine_dyn(self, start_i: int, first_fid: int, stop_i: int):
         """Per-batch host->device upload: frame counters + the (usually
         empty) kill list for engine slots whose host landmark was recycled
         or invalidated since the last batch. Everything else — pose state,
@@ -437,17 +525,23 @@ class Tracker:
         return EngineDyn(
             frame_base=jnp.int32(first_fid),
             start=jnp.int32(start_i),
+            stop=jnp.int32(stop_i),
             kill=jnp.asarray(stale),
             kill_gen=jnp.asarray(kill_gen))
 
-    def _engine_dispatch(self, feats_b, first_fid: int, i0: int, B: int):
+    def _engine_dispatch(self, feats_b, first_fid: int, i0: int, B: int,
+                         stop: int | None = None):
         """Dispatch the whole-batch engine program (async) and start the
-        device->host copy of its packed telemetry. Returns the in-flight
+        device->host copy of its packed telemetry. B is the COMPILED batch
+        size; frames [i0, stop) are active (stop < B when the batch was
+        padded to avoid a tail-size recompile). Returns the in-flight
         record for _engine_harvest."""
+        if stop is None:
+            stop = B
         if not self._eng_ready:
             self._engine_enter()
         with self._stage("engine_dyn"):
-            dyn = self._engine_dyn(i0, first_fid)
+            dyn = self._engine_dyn(i0, first_fid, stop)
         with self._stage("engine_dispatch"):
             packed_dev, persist = self._eng_progs["batch"](
                 self._eng_persist, dyn, feats_b, self.intr)
@@ -458,7 +552,7 @@ class Tracker:
             packed_dev.copy_to_host_async()
         except AttributeError:
             pass
-        return (packed_dev, feats_b, first_fid, i0, B)
+        return (packed_dev, feats_b, first_fid, i0, B, stop)
 
     def _engine_harvest(self, inflight):
         """Consume one dispatched batch's telemetry: decode stats +
@@ -469,7 +563,7 @@ class Tracker:
         recovery."""
         from visualslam_tpu.slam.engine import decode_packed
 
-        packed_dev, feats_b, first_fid, i0, B = inflight
+        packed_dev, feats_b, first_fid, i0, B, stop = inflight
         with self._stage("engine_readback"):
             packed = np.asarray(packed_dev)
         M = self.cfg.match.max_matches
@@ -480,11 +574,16 @@ class Tracker:
             stats, recs, db_n_dev, tail = decode_packed(
                 packed, B, M, P, W, Kl)
             rec_by_frame = {r.frame: r for r in recs}
+        pending, self._pending_world_G = self._pending_world_G, None
+        if pending is not None:
+            stats, recs, tail = _transform_telemetry(
+                pending, stats, recs, tail)
+            rec_by_frame = {r.frame: r for r in recs}
 
         results: list[FrameResult] = []
         loop_hits = []
         n_applied = 0
-        for j in range(i0, B):
+        for j in range(i0, stop):
             fid = first_fid + j
             srow = stats[j]
             n_match = int(srow[0])
@@ -532,12 +631,13 @@ class Tracker:
         if loop_hits:
             with self._stage("loop_optimize"):
                 self._engine_apply_loops()
-        return results, B
+        return results, stop
 
-    def _engine_run(self, feats_b, first_fid: int, i0: int, B: int):
+    def _engine_run(self, feats_b, first_fid: int, i0: int, B: int,
+                    stop: int | None = None):
         """Synchronous dispatch + harvest (the non-pipelined path)."""
         return self._engine_harvest(
-            self._engine_dispatch(feats_b, first_fid, i0, B))
+            self._engine_dispatch(feats_b, first_fid, i0, B, stop))
 
     def _engine_apply_tail(self, tail) -> None:
         """Mirror the engine's post-BA state into the host map: window
@@ -604,16 +704,29 @@ class Tracker:
             return None
         lc = self.loop_closer
         db_idx = lc.add_keyframe_light(fid, R, t)
+        if db_idx < self._loop_cooldown_until:
+            # closure cooldown: corridor-overlap revisits re-fire every
+            # few keyframes with noisy Sim(3) scale estimates; repeated
+            # live-map warps were measured to kill tracking outright
+            return None
         for row in rec.loop:
-            from visualslam_tpu.slam.engine import decode_loop_row
+            from visualslam_tpu.slam.engine import (
+                decode_loop_row, loop_row_accept)
 
-            cand, sim, n_usable, n_inl, Rb, tb, scale, _ = \
-                decode_loop_row(row)
-            if (0 <= cand < db_idx and sim >= lc.cos_thresh
-                    and n_usable >= lc.min_inliers
-                    and n_inl >= lc.min_inliers):
-                lc.add_device_edge(cand, db_idx, Rb, tb, n_inl, scale)
+            r = decode_loop_row(row)
+            if (0 <= r.cand < db_idx and r.sim >= lc.cos_thresh
+                    and r.n_usable >= lc.min_inliers
+                    and loop_row_accept(
+                        r, lc.min_inliers,
+                        self.cfg.loop.consistency_rot_deg,
+                        self.cfg.loop.consistency_trans,
+                        self.cfg.loop.max_baseline_frac)):
+                lc.add_device_edge(r.cand, db_idx, r.R, r.t, r.n_inl,
+                                   r.scale,
+                                   rot_sigma_deg=r.rot_consist_deg)
                 self.num_loop_closures += 1
+                self._loop_cooldown_until = (
+                    db_idx + self.cfg.loop.cooldown_keyframes)
                 return (slot, db_idx)
         return None
 
@@ -650,6 +763,12 @@ class Tracker:
             jnp.asarray(sg), jnp.asarray(Rc), jnp.asarray(tc),
             jnp.int32(n), jnp.asarray(Rl, jnp.float32),
             jnp.asarray(tl, jnp.float32), jnp.float32(sl))
+        if self._inflight is not None:
+            # a speculative batch already executed in the pre-correction
+            # frame (the correction program is queued right after it);
+            # its decoded telemetry must be moved into the corrected frame
+            self._pending_world_G = (np.asarray(Rl, np.float32),
+                                     np.asarray(tl, np.float32), float(sl))
 
     def _engine_append_host_entry(self, entry) -> None:
         """Mirror a host-path loop-database entry (e.g. the two-view-init
@@ -909,13 +1028,12 @@ class Tracker:
                 self.intr))
             lc = self.loop_closer
             for row in rows:
-                cand, sim, n_usable, n_inl, Rq, tq, _, _ = \
-                    decode_loop_row(row)
-                if (cand >= 0 and sim >= lc.cos_thresh
-                        and n_usable >= lc.min_inliers
-                        and n_inl >= lc.min_inliers):
-                    self._last_R = np.array(Rq, np.float32, copy=True)
-                    self._last_t = np.array(tq, np.float32, copy=True)
+                r = decode_loop_row(row)
+                if (r.cand >= 0 and r.sim >= lc.cos_thresh
+                        and r.n_usable >= lc.min_inliers
+                        and r.n_inl >= lc.min_inliers):
+                    self._last_R = np.array(r.R, np.float32, copy=True)
+                    self._last_t = np.array(r.t, np.float32, copy=True)
                     self.db_relocalizations += 1
                     from_db = True
                     break
@@ -1019,9 +1137,12 @@ class Tracker:
                 if self.engine and self._eng_persist is not None:
                     self._engine_append_host_entry(
                         self.loop_closer.entries[-1])
-                edge = self.loop_closer.detect(idx)
+                edge = (None if idx < self._loop_cooldown_until
+                        else self.loop_closer.detect(idx))
                 if edge is not None:
                     self.num_loop_closures += 1
+                    self._loop_cooldown_until = (
+                        idx + self.cfg.loop.cooldown_keyframes)
                     self.loop_closer.optimize()
                     self._apply_loop_correction(slot, idx)
 

@@ -256,6 +256,14 @@ class PoseGraphConfig(_Base):
     max_edges: int = 1024
     iters: int = 20
     damping: float = 1e-4
+    loop_weight: float = 0.5    # loop-edge weight relative to odometry
+    #                             (1.0). Deliberately conservative: a loop
+    #                             edge's rotation error acts through the
+    #                             full trajectory lever arm (a 5 deg edge
+    #                             error moved keyframes 14 map units on
+    #                             the KITTI-scale world), while odometry
+    #                             is locally accurate; repeated closures
+    #                             still pull genuine drift out gradually
     # "dense": materialize + factor the 6N x 6N system (exact, <= a few
     # hundred nodes); "cg": matrix-free block-Jacobi CG, O(E) per matvec —
     # scales to full-sequence graphs; "auto": dense below cg_threshold
@@ -273,11 +281,50 @@ class LoopConfig(_Base):
     cosine_threshold: float = 0.85      # global-descriptor retrieval gate
     min_inliers: int = 25               # PnP inliers to accept a loop
     exclude_recent: int = 10            # temporal exclusion window (keyframes)
+    cooldown_keyframes: int = 8         # after an accepted closure, suppress
+    #                                     further closures for this many
+    #                                     keyframes: corridor-overlap revisits
+    #                                     otherwise re-fire every batch with
+    #                                     noisy Sim(3) scale estimates
+    #                                     (measured swings 0.83-1.14 on the
+    #                                     KITTI-scale loop world) and the
+    #                                     repeated map warps kill tracking
     db_capacity: int = 512              # device-resident database entries
     #                                     (slam/engine.py ring; static per
     #                                     compiled batch program)
     sim3: bool = True                   # 7-DoF Sim(3) graph (monocular scale
     #                                     drift); False = rigid SE(3) graph
+    consistency_rot_deg: float = 12.0   # mutual-PnP verification gates
+    consistency_trans: float = 0.1      # (engine path): the forward and
+    #                                     reciprocal solves must agree in
+    #                                     relative rotation (degrees) and
+    #                                     translation (as a fraction of the
+    #                                     median matched-landmark depth —
+    #                                     i.e. the parallax the error would
+    #                                     induce). Single-sided PnP on far
+    #                                     landmarks accepts depth-ambiguous
+    #                                     wrong minima with healthy inlier
+    #                                     counts
+    max_baseline_frac: float = 0.15     # accept a loop edge only when the
+    #                                     measured baseline is small vs the
+    #                                     median matched-landmark depth: a
+    #                                     genuine revisit has near-identical
+    #                                     viewpoints (excellent shared-
+    #                                     landmark PnP), while corridor
+    #                                     overlap at baseline ~0.3-0.6x
+    #                                     depth yields edges whose error
+    #                                     exceeds the odometry drift they
+    #                                     would "correct"
+    max_scale: float = 1.5              # per-edge scale-ratio sanity gate:
+    #                                     estimates outside [1/x, x] fall
+    #                                     back to SE(3) (a wrong-scale warp
+    #                                     of the live map kills tracking;
+    #                                     a missing one only costs drift).
+    #                                     Kept permissive — genuine long-
+    #                                     loop monocular drift can exceed
+    #                                     30%; the mutual-PnP consistency
+    #                                     gates are the primary defense
+    #                                     against garbage edges
 
 
 @dataclass(frozen=True)
