@@ -36,7 +36,7 @@ def test_tpu_lane():
         f for f in flags.split()
         if "xla_force_host_platform_device_count" not in f)
     r = subprocess.run([sys.executable, _SCRIPT], cwd=_ROOT, env=env,
-                       capture_output=True, text=True, timeout=1500)
+                       capture_output=True, text=True, timeout=2400)
     tail = (r.stdout + r.stderr)[-2000:]
     if "TPU_LANE_SKIP" in r.stdout:
         pytest.skip(f"no TPU backend in subprocess: {tail}")

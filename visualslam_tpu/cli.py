@@ -322,12 +322,13 @@ def cmd_accuracy(args) -> None:
         # the fast profile to be within ~1.5x of this row)
         ("bench-96", "reference", dict(num_frames=96, h=376, w=1248,
                                        n_dots=8000, step=0.4), False, 16),
-        # loop closure AT bench width (VERDICT r4 item 5): the strafe
-        # rectangle closes at the sequence end, so the final keyframes
-        # re-see the start views at 376x1248
-        ("bench-loop-128", "fast", dict(num_frames=128, h=376, w=1248,
+        # loop closure AT bench width (VERDICT r4 item 5): two laps of the
+        # strafe rectangle — every frame of lap 2 is a true revisit of
+        # lap 1, so multiple closures can fire at 376x1248
+        ("bench-loop-256", "fast", dict(num_frames=256, h=376, w=1248,
                                         n_dots=12000, step=0.4,
-                                        trajectory="loop"), False, 16),
+                                        trajectory="loop", laps=2),
+         False, 16),
         # return-to-start path over the reference's own photograph
         # (VERDICT r3 item 6; tests/test_photo_loop.py is the gating test)
         ("photo-loop-100", "fast", "photo", False, 8),

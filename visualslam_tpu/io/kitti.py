@@ -118,18 +118,22 @@ class SyntheticSequence:
     def __init__(self, num_frames: int = 50, h: int = 240, w: int = 376,
                  n_dots: int = 1500, seed: int = 0, step: float = 0.4,
                  textured: bool = True, trajectory: str = "dolly",
-                 yaw_rate: float = 0.01):
+                 yaw_rate: float = 0.01, laps: int = 1):
         """trajectory: "dolly" (forward along +z with mild yaw — the
         default), "arc" (heading-following turn, yaw_rate rad/frame —
         exercises rotation accuracy), "loop" (strafe rectangle returning
         to the start viewpoint with the same heading — exercises loop
-        closure/relocalization)."""
+        closure/relocalization). laps: number of rectangle circuits the
+        "loop" trajectory completes within num_frames — laps >= 2 makes
+        every frame of the later laps a true revisit of the first, so
+        multiple loop closures can fire."""
         self.num_frames = num_frames
         rng = np.random.default_rng(seed)
         self.h, self.w = h, w
         self.textured = textured
         self.trajectory = trajectory
         self.yaw_rate = yaw_rate
+        self.laps = max(1, laps)
         if textured:
             self.tex = self._make_texture(rng, 512)
         f = 0.6 * w
@@ -245,7 +249,7 @@ class SyntheticSequence:
         if self.trajectory == "loop":
             # strafe rectangle, constant heading: forward, right, back,
             # left — the final frames re-see the first frames' view
-            q = max(n // 4, 1)
+            q = max(n // (4 * self.laps), 1)
             depth = self.step * q
             width = min(6.0, 0.2 * q)
             centers = np.zeros((n, 3))

@@ -714,8 +714,12 @@ class Tracker:
                 decode_loop_row, loop_row_accept)
 
             r = decode_loop_row(row)
+            # n_usable only needs to clear the symmetric-rule floor: the
+            # mutual inlier gates are the real quality bar, and a genuine
+            # revisit can be landmark-poor on the current side (measured:
+            # a 17-usable / 58-reciprocal-inlier true revisit)
             if (0 <= r.cand < db_idx and r.sim >= lc.cos_thresh
-                    and r.n_usable >= lc.min_inliers
+                    and r.n_usable >= max(1, lc.min_inliers // 2)
                     and loop_row_accept(
                         r, lc.min_inliers,
                         self.cfg.loop.consistency_rot_deg,
