@@ -220,9 +220,21 @@ def detect_and_describe_sift(img: jnp.ndarray, pyr_cfg: PyramidConfig,
         # this per-keypoint gather; round-3 slope numbers put orientation
         # + describe at ~10 of ~13 ms/frame, both gather-bound)
         mag_ori = jnp.stack([ss.grad_mag[o], ss.grad_ori[o]], axis=-1)
+        if cfg.hist_compute == "bf16" and _use_pallas_patches(cfg):
+            # bf16 patches under the throughput profile: halves the crop's
+            # HBM traffic (the frontend's largest stage, measured 2.6 of
+            # 8.6 ms/frame) AND turns the kernels' HIGHEST-precision f32
+            # sampling matmuls (6 bf16 MXU passes each) into exact
+            # single-pass bf16x bf16->f32 products. Angle rounding at bf16
+            # (~0.7 deg of 360) is the same noise class the profile
+            # already accepts via its bf16 histogram compute.
+            mag_ori = mag_ori.astype(jnp.bfloat16)
         glvl = lvl - ss.grad_level_offset
         yx_int = jnp.stack([y, x], -1).astype(jnp.float32)
-        patches, py0, px0 = crop_patches(mag_ori, glvl, yx_int, 28)
+        # 32 rows for bf16 (sublane tiles are 16-deep; 28 is f32-tileable
+        # only); both cover the rotated window radius win/2*sqrt(2)+0.5
+        ph = 32 if mag_ori.dtype == jnp.bfloat16 else 28
+        patches, py0, px0 = crop_patches(mag_ori, glvl, yx_int, ph)
         kps, cand_idx = _orientation_pass(patches, py0, px0, lvl, y, x,
                                           offset, resp, valid, pyr_cfg, cfg)
         desc = describe_octave(patches, py0, px0, cand_idx, kps, cfg)

@@ -64,19 +64,29 @@ def _sample_patch_b(mag, ori, py, px):
     Batched dot_general keeps the MXU busy across the block instead of
     serializing one tiny matmul per keypoint (the fori variant measured
     ~1.5 us/keypoint; batching is the difference between the kernel
-    merely matching XLA and beating it)."""
+    merely matching XLA and beating it).
+
+    Precision: f32 patches sample at HIGHEST (default f32 matmuls take
+    bf16 MXU passes; the ori channel is ANGLES — uncontrolled bf16
+    rounding there shifts histogram bins, measured >1e-3 vs XLA on chip).
+    bf16 patches (the FAST profile's hist_compute="bf16" opt-in,
+    models/sift.py) sample with bf16 tent weights at HIGHEST — an exact
+    single bf16 x bf16 -> f32 pass, ~6x fewer MXU passes than f32
+    HIGHEST."""
     ph, pw = mag.shape[1:]
     wy = _tent_weights_b(jnp.clip(py, 0.0, ph - 1.0), ph)     # [TK, N, 28]
     wx = _tent_weights_b(jnp.clip(px, 0.0, pw - 1.0), pw)     # [TK, N, 128]
-    # HIGHEST: default f32 matmuls take bf16 MXU passes; the tent rows are
-    # interpolation weights and the ori channel is ANGLES — bf16 rounding
-    # there shifts histogram bins (measured >1e-3 vs the XLA path on chip)
+    wy = wy.astype(mag.dtype)
+    # Mosaic rejects fp32 contract precision on bf16 operands; DEFAULT is
+    # already the exact single bf16 x bf16 -> f32 MXU pass there
+    prec = (jax.lax.Precision.HIGHEST if mag.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     tm = jax.lax.dot_general(wy, mag, _BATCH_DOT,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=prec)
     to = jax.lax.dot_general(wy, ori, _BATCH_DOT,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=prec)
     return jnp.sum(tm * wx, axis=2), jnp.sum(to * wx, axis=2)
 
 
